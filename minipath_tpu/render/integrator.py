@@ -1,0 +1,120 @@
+"""Integrators: how a camera sample becomes a color.
+
+The parity integrator reproduces the reference worker exactly
+(``/root/reference/src/renderer/worker.rs:51-65``): cast a camera ray,
+shade hits as grayscale ``|ray_dir . normal|`` with alpha 1, misses as
+transparent black. It operates on whole tiles of packets instead of one
+sample at a time.
+
+The wavefront path-tracing integrator (bounces, materials, lights) lives in
+``wavefront.py`` — this module is the reference-capability surface.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from minipath_tpu.camera import CameraSampler, sample_rays
+from minipath_tpu.render.hit import HitRecords
+from minipath_tpu.render.traversal import intersect_bvh
+from minipath_tpu.scene.bvh.build import BvhArrays
+
+
+def shade_normal_dot(rays, hits: HitRecords) -> jnp.ndarray:
+    """Grayscale ``|d . n|`` shading with alpha, transparent miss
+    (``worker.rs:59-64``). Returns RGBA ``(..., 4)``."""
+    dot = jnp.abs(jnp.sum(rays.direction * hits.normal, axis=-1))
+    rgba = jnp.stack([dot, dot, dot, jnp.ones_like(dot)], axis=-1)
+    return jnp.where(hits.hit[..., None], rgba, 0.0)
+
+
+def tile_pixel_packets(tile_origin, tile_shape, packet_shape):
+    """Pixel coordinates of a tile grouped into coherent ray packets.
+
+    Returns ``(n_packets, P, 2)`` float32 (x, y) coordinates where each
+    packet is a ``packet_shape`` pixel block — the TPU replacement for the
+    reference's per-pixel loop (``screen_block.rs:104-128``); spatially
+    compact packets keep traversal coherent.
+    """
+    th, tw = tile_shape
+    ph, pw = packet_shape
+    assert th % ph == 0 and tw % pw == 0, (tile_shape, packet_shape)
+    ys = jnp.arange(th, dtype=jnp.int32)
+    xs = jnp.arange(tw, dtype=jnp.int32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")  # (th, tw)
+    pix = jnp.stack([gx, gy], axis=-1)  # (th, tw, 2) as (x, y)
+    pix = pix.reshape(th // ph, ph, tw // pw, pw, 2)
+    pix = pix.transpose(0, 2, 1, 3, 4).reshape(-1, ph * pw, 2)
+    return pix.astype(jnp.float32) + jnp.asarray(tile_origin, jnp.float32)
+
+
+def unpack_tile(values: jnp.ndarray, tile_shape, packet_shape) -> jnp.ndarray:
+    """Inverse of :func:`tile_pixel_packets` for per-pixel values
+    ``(n_packets, P, C)`` -> ``(th, tw, C)``."""
+    th, tw = tile_shape
+    ph, pw = packet_shape
+    c = values.shape[-1]
+    v = values.reshape(th // ph, tw // pw, ph, pw, c)
+    return v.transpose(0, 2, 1, 3, 4).reshape(th, tw, c)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tile_shape", "packet_shape", "spp", "stack_size"),
+)
+def render_tile_sum_bvh(
+    bvh: BvhArrays,
+    sampler: CameraSampler,
+    tile_origin,
+    key,
+    *,
+    tile_shape,
+    packet_shape,
+    spp: int,
+    stack_size: int,
+) -> jnp.ndarray:
+    """Sum of ``spp`` RGBA samples for one tile, shape ``(th, tw, 4)``.
+
+    All samples of all packets are traced in ONE batched traversal call —
+    sample-level Monte Carlo parallelism becomes a batch dimension instead of
+    the reference's serial per-pixel loop (``worker.rs:41-43``).
+    """
+    pix = tile_pixel_packets(tile_origin, tile_shape, packet_shape)  # (nb,P,2)
+    nb, P = pix.shape[:2]
+    keys = jax.random.split(key, spp)
+    rays = jax.vmap(lambda k: sample_rays(sampler, pix, k))(keys)
+    # (spp, nb, P, ...) -> fold samples into the packet batch dim.
+    rays = jax.tree.map(lambda a: a.reshape((spp * nb,) + a.shape[2:]), rays)
+    hits = intersect_bvh(bvh, rays, stack_size=stack_size)
+    rgba = shade_normal_dot(rays, hits)  # (spp*nb, P, 4)
+    rgba_sum = rgba.reshape(spp, nb, P, 4).sum(axis=0)
+    return unpack_tile(rgba_sum, tile_shape, packet_shape)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sphere", "tile_shape", "packet_shape", "spp"),
+)
+def render_tile_sum_sphere(
+    sphere,
+    sampler: CameraSampler,
+    tile_origin,
+    key,
+    *,
+    tile_shape,
+    packet_shape,
+    spp: int,
+) -> jnp.ndarray:
+    """Like :func:`render_tile_sum_bvh` for the analytic sphere object."""
+    pix = tile_pixel_packets(tile_origin, tile_shape, packet_shape)
+    nb, P = pix.shape[:2]
+    keys = jax.random.split(key, spp)
+    rays = jax.vmap(lambda k: sample_rays(sampler, pix, k))(keys)
+    rays = jax.tree.map(lambda a: a.reshape((spp * nb,) + a.shape[2:]), rays)
+    hits = sphere.intersect(rays)
+    rgba = shade_normal_dot(rays, hits)
+    rgba_sum = rgba.reshape(spp, nb, P, 4).sum(axis=0)
+    return unpack_tile(rgba_sum, tile_shape, packet_shape)

@@ -1,0 +1,93 @@
+"""The ``TriangleBvh`` renderable object.
+
+Public surface mirrors the reference
+(``/root/reference/src/scene/triangle_bvh/building.rs:28,83`` and
+``printing.rs:11``): ``TriangleBvh.with_obj(path)``, ``TriangleBvh.build``,
+``intersect``, ``get_bounding_box``, ``print_statistics``. The heavy lifting
+lives in the host-side builder (``bvh/build.py``) and the device-side packet
+traversal (``render/traversal.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from minipath_tpu.geometry.aabb import AABB
+from minipath_tpu.scene.bvh import links as L
+from minipath_tpu.scene.bvh.build import BuildResult, BvhArrays, build_bvh
+from minipath_tpu.scene.obj_loader import MeshData, load_obj
+
+
+class TriangleBvh:
+    """Host handle owning the flat BVH arrays of a triangle mesh."""
+
+    def __init__(self, build_result: BuildResult):
+        self._build = build_result
+        self._device_arrays: BvhArrays | None = None
+
+    # -- constructors -----------------------------------------------------------
+
+    @classmethod
+    def with_obj(cls, path) -> "TriangleBvh":
+        """Load an OBJ file and build the BVH (``building.rs:28``)."""
+        return cls.build(load_obj(path))
+
+    @classmethod
+    def build(cls, mesh: MeshData, materials=None) -> "TriangleBvh":
+        return cls(build_bvh(mesh, materials=materials))
+
+    # -- data access ------------------------------------------------------------
+
+    @property
+    def arrays(self) -> BvhArrays:
+        """Device (jax) arrays; transferred lazily and cached."""
+        if self._device_arrays is None:
+            self._device_arrays = self._build.as_device()
+        return self._device_arrays
+
+    @property
+    def host_arrays(self) -> BvhArrays:
+        return self._build.arrays
+
+    @property
+    def build_result(self) -> BuildResult:
+        return self._build
+
+    @property
+    def recommended_stack_size(self) -> int:
+        return self._build.recommended_stack_size
+
+    # -- Object protocol ----------------------------------------------------------
+
+    def intersect(self, rays, t_max=np.inf):
+        from minipath_tpu.render.traversal import intersect_bvh
+
+        return intersect_bvh(
+            self.arrays, rays, t_max=t_max, stack_size=self.recommended_stack_size
+        )
+
+    def get_bounding_box(self) -> AABB:
+        return AABB(
+            np.asarray(self._build.arrays.bbox_min),
+            np.asarray(self._build.arrays.bbox_max),
+        )
+
+    # -- statistics (printing.rs:11-70) ---------------------------------------------
+
+    def statistics(self) -> dict:
+        b = self._build
+        stats = {
+            "triangles": b.triangle_count,
+            "vertices": b.vertex_count,
+            "inner_nodes": int(b.arrays.node_child_links.shape[0]),
+            "triangle_packets": int(b.arrays.tri_packets.shape[0]),
+            "max_depth": b.max_depth,
+            "leaf_depth": str(b.leaf_depth),
+            "inner_node_fill": str(b.inner_fill),
+            "leaf_fill_triangles": str(b.leaf_fill),
+        }
+        return stats
+
+    def print_statistics(self) -> None:
+        for k, v in self.statistics().items():
+            print(f"  {k}: {v}")

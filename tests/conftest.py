@@ -1,0 +1,22 @@
+"""Test configuration: run on CPU with 8 virtual devices.
+
+Sharding tests exercise a virtual 8-device mesh the way the driver's
+multi-chip dry-run does; compute tests don't need the real TPU.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
