@@ -1,0 +1,120 @@
+"""Command-line front-end.
+
+Counterpart of ``/root/reference/src/cli.rs``: same default recipe (teapot,
+camera looking from (0,2,10) at (0,1.5,0), f/4.8 focused at 10 m, 2048x1536,
+64-px tiles, 100 spp), BVH statistics printed at startup, and a progress bar
+driven by the finished-tile callback. Improvements over the reference: real
+argument parsing (the reference hardcodes everything) and the image is
+actually written to disk (the reference never saves it, ``cli.rs:44-46``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+DEFAULT_OBJ = "/root/reference/data/teapot.obj"
+
+
+def _progress_bar(finished: int, total: int, width: int = 40) -> str:
+    filled = int(width * finished / total) if total else width
+    return "[" + "#" * filled + "-" * (width - filled) + f"] {finished}/{total}"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="minipath-tpu",
+        description="TPU-native tiled path tracer (minipath capabilities).",
+    )
+    p.add_argument("--obj", default=None, help="OBJ file to render (default: reference teapot, falling back to a procedural sphere)")
+    p.add_argument("--scene", choices=["obj", "sphere-mesh", "atrium"], default="obj", help="scene source")
+    p.add_argument("--width", type=int, default=2048)
+    p.add_argument("--height", type=int, default=1536)
+    p.add_argument("--spp", type=int, default=100, help="samples per pixel")
+    p.add_argument("--tile-size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output", "-o", default="render.png", help="output PNG path")
+    p.add_argument("--camera-from", type=float, nargs=3, default=(0.0, 2.0, 10.0), metavar=("X", "Y", "Z"))
+    p.add_argument("--camera-to", type=float, nargs=3, default=(0.0, 1.5, 0.0), metavar=("X", "Y", "Z"))
+    p.add_argument("--f-number", type=float, default=4.8)
+    p.add_argument("--focus", type=float, default=10.0, help="focus distance (meters); default focuses at --camera-to distance")
+    p.add_argument("--no-stats", action="store_true", help="skip BVH statistics printout")
+    p.add_argument("--quiet", "-q", action="store_true")
+    return p
+
+
+def load_scene(args):
+    from minipath_tpu.scene.triangle_bvh import TriangleBvh
+
+    if args.scene == "atrium":
+        from minipath_tpu.scene.procedural import make_atrium
+
+        return TriangleBvh.build(make_atrium())
+    if args.scene == "sphere-mesh":
+        from minipath_tpu.scene.procedural import make_uv_sphere
+
+        return TriangleBvh.build(make_uv_sphere(1.0, rings=32, segments=64))
+
+    import os
+
+    path = args.obj or (DEFAULT_OBJ if os.path.exists(DEFAULT_OBJ) else None)
+    if path is None:
+        from minipath_tpu.scene.procedural import make_uv_sphere
+
+        print("no OBJ available; rendering procedural sphere", file=sys.stderr)
+        return TriangleBvh.build(make_uv_sphere(1.0, rings=32, segments=64))
+    return TriangleBvh.with_obj(path)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from minipath_tpu import Camera, RenderSettings, Scene, render
+    from minipath_tpu.utils.image import save_png
+
+    bvh = load_scene(args)
+    if not args.no_stats:
+        bvh.print_statistics()
+
+    camera = (
+        Camera()
+        .look_at(tuple(args.camera_from), tuple(args.camera_to))
+        .f_number(args.f_number)
+        .focus_distance(args.focus)
+    )
+    settings = RenderSettings(
+        tile_size=args.tile_size,
+        sample_count=args.spp,
+        resolution=(args.width, args.height),
+    )
+
+    def on_tile(_tile, snapshot):
+        if not args.quiet:
+            print("\r" + _progress_bar(snapshot.finished, snapshot.total), end="", file=sys.stderr)
+
+    t0 = time.time()
+    progress = render(Scene(bvh), camera, settings, finished_tile_callback=on_tile, seed=args.seed)
+    try:
+        progress.wait()
+    except KeyboardInterrupt:
+        progress.abort()
+        progress.wait()
+        print("\naborted", file=sys.stderr)
+    if not args.quiet:
+        print(file=sys.stderr)
+
+    rays = args.width * args.height * args.spp
+    elapsed = progress.elapsed()
+    print(
+        f"rendered {args.width}x{args.height} @ {args.spp} spp in {elapsed:.2f}s "
+        f"({rays / elapsed / 1e6:.1f} Mrays/s)",
+        file=sys.stderr,
+    )
+    save_png(args.output, progress.image())
+    print(f"saved {args.output}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

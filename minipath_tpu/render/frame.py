@@ -1,0 +1,117 @@
+"""Production whole-frame renderer on the Pallas traversal kernel.
+
+One jitted dispatch per sample-chunk: in-jit ray generation (no host pixel
+arrays), Pallas packet traversal, hit finalization, parity shading, and
+on-device sample accumulation. Packets are multi-sample (a 16x16 pixel tile
+repeated for S samples) — the traversal cost is dominated by per-packet
+scalar stepping, so extra samples in the vector dimension are nearly free
+(measured: P=256 -> 11 Mrays/s, P=8192 -> 236 Mrays/s on the 250k-triangle
+atrium at 1080p on one v5e chip).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from minipath_tpu.camera import CameraSampler
+from minipath_tpu.parallel.mesh import gen_frame_rays9, unpack_frame
+from minipath_tpu.render.pallas_kernels import (
+    PallasScene,
+    prepare_scene,
+    trace_packets_pallas,
+)
+from minipath_tpu.geometry.ray import Rays
+from minipath_tpu.scene.bvh.build import BvhArrays
+
+
+def rays9_to_rays(rays9: jnp.ndarray) -> Rays:
+    """Inverse of ``rays_to_rays9``: ``(B, 9, S, 128)`` -> Rays of (B, P, 3)."""
+    B, _, S, LN = rays9.shape
+    flat = rays9.reshape(B, 9, S * LN)
+    stacked = jnp.swapaxes(flat, 1, 2)  # (B, P, 9)
+    return Rays(
+        origin=stacked[..., 0:3],
+        direction=stacked[..., 3:6],
+        inv_direction=stacked[..., 6:9],
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "px_block", "samples", "stack_size"),
+)
+def _render_chunk(
+    bvh: BvhArrays,
+    scene: PallasScene,
+    sampler: CameraSampler,
+    key,
+    *,
+    width: int,
+    height: int,
+    px_block,
+    samples: int,
+    stack_size: int,
+):
+    """One chunk: ``samples`` spp for every pixel. Returns ``(B, bp, 4)``
+    RGBA sums over the chunk's samples (bp = pixels per packet)."""
+    rays9, _counts = gen_frame_rays9(
+        sampler, key, width=width, height=height, px_block=px_block, samples=samples
+    )
+    _t, best_tri, best_dot = trace_packets_pallas(
+        scene, rays9, stack_size=stack_size
+    )
+    # Parity shading entirely from kernel outputs — no per-ray gathers
+    # (worker.rs:59-64: grayscale |d.n| with alpha on hit, transparent miss).
+    hit = (best_tri >= 0).astype(jnp.float32)
+    shaded = best_dot * hit
+    rgba = jnp.stack([shaded, shaded, shaded, hit], axis=-1)  # (B, P, 4)
+    B, P, _ = rgba.shape
+    bp = P // samples
+    return rgba.reshape(B, samples, bp, 4).sum(axis=1)
+
+
+def render_frame_pallas(
+    bvh: BvhArrays,
+    sampler: CameraSampler,
+    key,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    stack_size: int,
+    px_block=(16, 16),
+    samples_per_packet: int = 16,
+    scene: PallasScene | None = None,
+) -> jnp.ndarray:
+    """Full-frame mean image ``(H, W, 4)`` float32 in [0, 1]."""
+    if scene is None:
+        scene = prepare_scene(bvh)
+    bh, bw = px_block
+    hc = -(-height // bh)
+    wc = -(-width // bw)
+
+    acc = None
+    done = 0
+    chunk_id = 0
+    while done < spp:
+        n = min(samples_per_packet, spp - done)
+        part = _render_chunk(
+            bvh,
+            scene,
+            sampler,
+            jax.random.fold_in(key, chunk_id),
+            width=width,
+            height=height,
+            px_block=px_block,
+            samples=n,
+            stack_size=stack_size,
+        )
+        acc = part if acc is None else acc + part
+        done += n
+        chunk_id += 1
+    img = unpack_frame(acc, width, height, (hc, wc), px_block)
+    return img / spp

@@ -1,0 +1,399 @@
+"""Pallas TPU packet-traversal kernel — the hot path.
+
+Why a kernel: the pure-XLA traversal in ``traversal.py`` runs every packet in
+one lockstep batch, so (a) all packets pay the worst packet's step count and
+(b) node/triangle fetches become giant XLA gathers from HBM. Here the grid
+iterates over packets: each program owns ONE packet, keeps its traversal
+stack in SMEM scalars, and fetches node/triangle records with *scalar*
+dynamic indices from VMEM-resident scene arrays (the whole quantity of scene
+data — ~11 MB f32 for a 250k-triangle scene — fits in VMEM and is pinned
+there by constant index maps). Box and triangle tests are dense ``(P,)``
+vector ops on the VPU over the packet's rays.
+
+Same algorithm and results as ``traversal.trace_packets`` (same link
+encoding, same leaf-continuation scheme, same conservative slab/MT
+semantics); the oracle tests compare the two paths exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from minipath_tpu.geometry.ray import Rays
+from minipath_tpu.scene.bvh import links as L
+from minipath_tpu.scene.bvh.build import BvhArrays
+
+_NULL = L.NULL_LINK
+
+
+class PallasScene(NamedTuple):
+    """Scene arrays laid out for the kernel (derived from BvhArrays).
+
+    Rows are kept 2-D with a flat record in the last (lane) dimension —
+    Mosaic pads the last dim to 128 lanes, so a (M, 8, 9) layout would pad
+    to (M, 8, 128) and blow VMEM by 14x.
+    """
+
+    node_box: jnp.ndarray  # (N, 48) f32: per child c, [c*6:c*6+6] = cmin, cmax
+    node_links: jnp.ndarray  # (N, 8) i32
+    tri_data: jnp.ndarray  # (M, 72) f32: per lane l, [l*9:l*9+9] = v0, e1, e2
+    tri_shade: jnp.ndarray  # (M, 72) f32: per lane l, vertex normals n0,n1,n2
+    root: jnp.ndarray  # (1, 1) i32
+
+
+def prepare_scene(bvh: BvhArrays) -> PallasScene:
+    """Derive kernel arrays. ``tri_shade`` holds the three vertex normals per
+    triangle lane; flat-shaded triangles (zero vertex normals, see
+    ``building.rs:199`` semantics) get their geometric normal replicated into
+    all three slots so the in-kernel barycentric interpolation needs no
+    per-triangle flag."""
+    node_box = jnp.concatenate(
+        [bvh.node_child_box_min, bvh.node_child_box_max], axis=-1
+    )  # (N, 8, 6)
+    v0 = bvh.tri_packets[:, :, 0, :]
+    e1 = bvh.tri_packets[:, :, 1, :] - v0
+    e2 = bvh.tri_packets[:, :, 2, :] - v0
+    tri_data = jnp.concatenate([v0, e1, e2], axis=-1)  # (M, 8, 9)
+    node_box = node_box.reshape(node_box.shape[0], 48)
+    tri_data = tri_data.reshape(tri_data.shape[0], 72)
+
+    # Per-lane shading normals (see docstring).
+    M = bvh.tri_packets.shape[0]
+    vidx = bvh.tri_vidx.reshape(M, 8, 3)
+    vnorm = bvh.vert_normal[vidx]  # (M, 8, 3, 3)
+    geom = jnp.cross(e1, e2)  # (M, 8, 3) unnormalized; interp normalizes
+    flat = bvh.tri_flat.reshape(M, 8)
+    vnorm = jnp.where(flat[..., None, None], geom[:, :, None, :], vnorm)
+    tri_shade = vnorm.reshape(M, 72)
+
+    root = jnp.asarray(bvh.root, jnp.int32).reshape(1, 1)
+    return PallasScene(
+        node_box=node_box.astype(jnp.float32),
+        node_links=bvh.node_child_links.astype(jnp.int32),
+        tri_data=tri_data.astype(jnp.float32),
+        tri_shade=tri_shade.astype(jnp.float32),
+        root=root,
+    )
+
+
+def _traverse_kernel(
+    root_ref,  # SMEM (1, 1) i32
+    node_box_ref,  # VMEM (N, 48) f32
+    node_links_ref,  # VMEM (N, 8) i32
+    tri_ref,  # VMEM (M, 72) f32
+    shade_ref,  # VMEM (M, 72) f32 — per-lane vertex normals
+    rays_ref,  # VMEM (1, 9, P) f32 — packet block
+    t_ref,  # out VMEM (1, P) f32
+    tri_out_ref,  # out VMEM (1, P) i32
+    dot_ref,  # out VMEM (1, P) f32 — |ray_dir . shading_normal| at best hit
+    stack_ref,  # SMEM scratch (S,) i32 — encoded node links
+    stack_t_ref,  # SMEM scratch (S,) f32 — packet-min entry distance
+    *,
+    t_max: float,
+):
+    # Ray fields as (S, 128) vector registers (S*128 = packet size).
+    S, LANES = rays_ref.shape[2], rays_ref.shape[3]
+    ox = rays_ref[0, 0]
+    oy = rays_ref[0, 1]
+    oz = rays_ref[0, 2]
+    dx = rays_ref[0, 3]
+    dy = rays_ref[0, 4]
+    dz = rays_ref[0, 5]
+    ix = rays_ref[0, 6]
+    iy = rays_ref[0, 7]
+    iz = rays_ref[0, 8]
+
+    root = root_ref[0, 0]
+    stack_ref[0] = root
+    stack_t_ref[0] = 0.0
+
+    def cond(carry):
+        sp, _, _, _, _ = carry
+        return sp > 0
+
+    def body(carry):
+        sp, max_best, best_t, best_tri, best_dot = carry
+        link = stack_ref[sp - 1]
+        t_entry = stack_t_ref[sp - 1]
+        sp = sp - 1
+        count = link & L.COUNT_MASK
+        idx = link >> L.COUNT_BITS
+        is_leaf = count != 0
+
+        def inner_case(args):
+            sp, max_best, best_t, best_tri, best_dot = args
+            boxes = node_box_ref[idx]  # (48,)
+            clinks = node_links_ref[idx]  # (8,)
+            child_links = []
+            child_tmin = []
+            for c in range(8):
+                o = c * 6
+                bminx, bminy, bminz = boxes[o + 0], boxes[o + 1], boxes[o + 2]
+                bmaxx, bmaxy, bmaxz = boxes[o + 3], boxes[o + 4], boxes[o + 5]
+                # Slab test with the reference's NaN rule: near-plane NaNs
+                # -> -inf, far-plane NaNs -> +inf (aabb.rs:254-284).
+                tx0 = (bminx - ox) * ix
+                tx1 = (bmaxx - ox) * ix
+                ty0 = (bminy - oy) * iy
+                ty1 = (bmaxy - oy) * iy
+                tz0 = (bminz - oz) * iz
+                tz1 = (bmaxz - oz) * iz
+                tx0 = jnp.where(jnp.isnan(tx0), -jnp.inf, tx0)
+                ty0 = jnp.where(jnp.isnan(ty0), -jnp.inf, ty0)
+                tz0 = jnp.where(jnp.isnan(tz0), -jnp.inf, tz0)
+                tx1 = jnp.where(jnp.isnan(tx1), jnp.inf, tx1)
+                ty1 = jnp.where(jnp.isnan(ty1), jnp.inf, ty1)
+                tz1 = jnp.where(jnp.isnan(tz1), jnp.inf, tz1)
+                t1 = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), 0.0),
+                    jnp.maximum(jnp.minimum(ty0, ty1), jnp.minimum(tz0, tz1)),
+                )
+                t2 = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), best_t),
+                    jnp.minimum(jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)),
+                )
+                clink = clinks[c]
+                hit = t1 <= t2
+                tmin = jnp.min(jnp.where(hit, t1, jnp.inf))
+                push = jnp.any(hit) & (clink != _NULL)
+                # Dead lanes sort to the front (far-first push order) and
+                # are skipped by the NULL guard at push time.
+                child_links.append(jnp.where(push, clink, _NULL))
+                child_tmin.append(jnp.where(push, tmin, jnp.inf))
+
+            # Sorting network (Batcher, 8 inputs, 19 comparators): order
+            # children by DESCENDING entry distance so the nearest child is
+            # popped first — front-to-back traversal tightens best_t early
+            # (the reference pushes in lane order, ray_bvh_intersection.rs:158).
+            pairs = [
+                (0, 1), (2, 3), (4, 5), (6, 7),
+                (0, 2), (1, 3), (4, 6), (5, 7),
+                (1, 2), (5, 6), (0, 4), (3, 7),
+                (1, 5), (2, 6), (1, 4), (3, 6),
+                (2, 4), (3, 5), (3, 4),
+            ]
+            for (a, b) in pairs:
+                swap = child_tmin[a] < child_tmin[b]  # descending
+                ta = jnp.where(swap, child_tmin[b], child_tmin[a])
+                tb = jnp.where(swap, child_tmin[a], child_tmin[b])
+                la = jnp.where(swap, child_links[b], child_links[a])
+                lb = jnp.where(swap, child_links[a], child_links[b])
+                child_tmin[a], child_tmin[b] = ta, tb
+                child_links[a], child_links[b] = la, lb
+
+            for c in range(8):
+                clink = child_links[c]
+                push = clink != _NULL
+
+                @pl.when(push)
+                def _():
+                    stack_ref[sp] = clink
+                    stack_t_ref[sp] = child_tmin[c]
+
+                sp = sp + push.astype(jnp.int32)
+            return sp, max_best, best_t, best_tri, best_dot
+
+        def leaf_case(args):
+            sp, max_best, best_t, best_tri, best_dot = args
+            tris = tri_ref[idx]  # (72,)
+            shade = shade_ref[idx]  # (72,)
+            for lane in range(8):
+                o = lane * 9
+                v0x, v0y, v0z = tris[o + 0], tris[o + 1], tris[o + 2]
+                e1x, e1y, e1z = tris[o + 3], tris[o + 4], tris[o + 5]
+                e2x, e2y, e2z = tris[o + 6], tris[o + 7], tris[o + 8]
+                # Möller–Trumbore, two-sided (triangle.rs:187-216).
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = 1.0 / det
+                sx = ox - v0x
+                sy = oy - v0y
+                sz = oz - v0z
+                u = inv_det * (sx * px + sy * py + sz * pz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = inv_det * (dx * qx + dy * qy + dz * qz)
+                t = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+                ok = (
+                    (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t >= 0.0)
+                    & (t < best_t)
+                )
+                best_tri = jnp.where(
+                    ok, idx * L.LEAF_NODE_PACKET_SIZE + lane, best_tri
+                )
+                best_t = jnp.where(ok, t, best_t)
+                # In-kernel parity shading: interpolate vertex normals with
+                # the hit barycentrics, normalize, take |d . n|
+                # (ray_bvh_intersection.rs:76-85 + worker.rs:59-63).
+                n0x, n0y, n0z = shade[o + 0], shade[o + 1], shade[o + 2]
+                n1x, n1y, n1z = shade[o + 3], shade[o + 4], shade[o + 5]
+                n2x, n2y, n2z = shade[o + 6], shade[o + 7], shade[o + 8]
+                w = 1.0 - u - v
+                nx = n0x * w + n1x * u + n2x * v
+                ny = n0y * w + n1y * u + n2y * v
+                nz = n0z * w + n1z * u + n2z * v
+                dot = dx * nx + dy * ny + dz * nz
+                nn = nx * nx + ny * ny + nz * nz
+                dot = jnp.abs(dot) * jax.lax.rsqrt(jnp.maximum(nn, 1e-30))
+                best_dot = jnp.where(ok, dot, best_dot)
+
+            max_best = jnp.max(best_t)
+            cont = count > 1
+
+            @pl.when(cont)
+            def _():
+                stack_ref[sp] = ((idx + 1) << L.COUNT_BITS) | (count - 1)
+                stack_t_ref[sp] = t_entry
+
+            sp = sp + cont.astype(jnp.int32)
+            return sp, max_best, best_t, best_tri, best_dot
+
+        def skip_case(args):
+            return args
+
+        # Occlusion prune at pop: if the node's entry distance is beyond
+        # every ray's best hit, its subtree cannot contribute
+        # (per-ray version: ray_bvh_intersection.rs:40-44).
+        live = t_entry <= max_best
+        return jax.lax.cond(
+            live,
+            lambda args: jax.lax.cond(is_leaf, leaf_case, inner_case, args),
+            skip_case,
+            (sp, max_best, best_t, best_tri, best_dot),
+        )
+
+    best_t0 = jnp.full((S, LANES), t_max, jnp.float32)
+    best_tri0 = jnp.full((S, LANES), -1, jnp.int32)
+    best_dot0 = jnp.zeros((S, LANES), jnp.float32)
+    sp0 = jnp.where(root == _NULL, 0, 1).astype(jnp.int32)
+    _, _, best_t, best_tri, best_dot = jax.lax.while_loop(
+        cond, body, (sp0, jnp.float32(t_max), best_t0, best_tri0, best_dot0)
+    )
+    t_ref[0] = best_t
+    tri_out_ref[0] = best_tri
+    dot_ref[0] = best_dot
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stack_size", "t_max", "interpret")
+)
+def trace_packets_pallas(
+    scene: PallasScene,
+    rays9: jnp.ndarray,  # (B, 9, P) f32: o, d, inv_d rows
+    *,
+    stack_size: int = 96,
+    t_max: float = np.inf,
+    interpret: bool = False,
+):
+    """Returns ``(best_t, best_tri, best_dot)`` each ``(B, P)``.
+
+    ``best_tri`` is -1 on miss; ``best_dot`` is the in-kernel parity shading
+    value |ray_dir . shading_normal| at the best hit (0 on miss).
+
+    ``rays9`` is ``(B, 9, P//128, 128)`` (see :func:`rays_to_rays9`).
+    """
+    B, _, S, LANES = rays9.shape
+    P = S * LANES
+    kernel = functools.partial(_traverse_kernel, t_max=float(t_max))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # root (1,1)
+            pl.BlockSpec(
+                scene.node_box.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                scene.node_links.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                scene.tri_data.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                scene.tri_shade.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 9, S, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((stack_size,), jnp.int32),
+            pltpu.SMEM((stack_size,), jnp.float32),
+        ],
+    )
+    best_t, best_tri, best_dot = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        scene.root,
+        scene.node_box,
+        scene.node_links,
+        scene.tri_data,
+        scene.tri_shade,
+        rays9,
+    )
+    return (
+        best_t.reshape(B, P),
+        best_tri.reshape(B, P),
+        best_dot.reshape(B, P),
+    )
+
+
+def rays_to_rays9(rays: Rays) -> jnp.ndarray:
+    """Pack a Rays pytree with ``(B, P, 3)`` fields into ``(B, 9, P//128, 128)``."""
+    stacked = jnp.concatenate(
+        [rays.origin, rays.direction, rays.inv_direction], axis=-1
+    )  # (B, P, 9)
+    B, P = stacked.shape[:2]
+    assert P % 128 == 0, f"packet size {P} must be a multiple of 128"
+    return jnp.swapaxes(stacked, -1, -2).reshape(B, 9, P // 128, 128)
+
+
+def intersect_bvh_pallas(
+    bvh: BvhArrays,
+    scene: PallasScene,
+    rays: Rays,
+    *,
+    stack_size: int = 96,
+    t_max: float = np.inf,
+    interpret: bool = False,
+):
+    """Trace via the kernel, then finalize hits with the shared jnp code."""
+    from minipath_tpu.render.traversal import TraceResult, finalize_hits
+
+    best_t, best_tri, _best_dot = trace_packets_pallas(
+        scene,
+        rays_to_rays9(rays),
+        stack_size=stack_size,
+        t_max=t_max,
+        interpret=interpret,
+    )
+    miss = best_tri < 0
+    result = TraceResult(
+        t=jnp.where(miss, jnp.inf, best_t), tri=best_tri, steps=jnp.int32(0)
+    )
+    return finalize_hits(bvh, rays, result)

@@ -1,0 +1,132 @@
+"""Pallas kernel tests (interpret mode on CPU): exact agreement with the
+pure-XLA packet traversal and the brute-force oracle."""
+
+import numpy as np
+import jax
+import pytest
+
+from minipath_tpu.geometry import make_rays
+from minipath_tpu.render.pallas_kernels import (
+    intersect_bvh_pallas,
+    prepare_scene,
+    rays_to_rays9,
+    trace_packets_pallas,
+)
+from minipath_tpu.render.traversal import trace_brute_force, trace_packets
+from minipath_tpu.scene.bvh.build import build_bvh
+from minipath_tpu.scene.procedural import (
+    make_cube,
+    make_random_triangles,
+    make_uv_sphere,
+    merge_meshes,
+)
+
+
+def _check_against_brute(mesh, rays, stack_size=64):
+    bvh = build_bvh(mesh).as_device()
+    scene = prepare_scene(bvh)
+    got_t, got_tri, _got_dot = trace_packets_pallas(
+        scene, rays_to_rays9(rays), stack_size=stack_size, interpret=True
+    )
+    want = trace_brute_force(bvh.tri_packets, rays)
+    got_t, got_tri = np.asarray(got_t), np.asarray(got_tri)
+    want_t, want_tri = np.asarray(want.t), np.asarray(want.tri)
+    assert ((got_tri >= 0) == (want_tri >= 0)).all()
+    hits = want_tri >= 0
+    np.testing.assert_allclose(got_t[hits], want_t[hits], rtol=1e-5, atol=1e-6)
+    with np.errstate(invalid="ignore"):
+        tie = np.abs(got_t - want_t) <= 1e-6 + 1e-5 * np.abs(want_t)
+    assert ((got_tri == want_tri) | tie)[hits].all()
+
+
+def test_pallas_matches_oracle_random(rng):
+    mesh = make_random_triangles(1200, seed=21)
+    origin = rng.uniform(-12, 12, (4, 128, 3)).astype(np.float32)
+    direction = rng.normal(size=(4, 128, 3)).astype(np.float32)
+    _check_against_brute(mesh, make_rays(origin, direction))
+
+
+def test_pallas_matches_oracle_coherent(rng):
+    mesh = merge_meshes(
+        [make_cube(3.0), make_uv_sphere(1.0, center=(2, 0, 0), rings=10, segments=14)]
+    )
+    origin = np.tile(np.array([0, 0, -6], np.float32), (2, 128, 1))
+    direction = np.array([0, 0, 1], np.float32) + 0.15 * rng.normal(
+        size=(2, 128, 3)
+    ).astype(np.float32)
+    _check_against_brute(mesh, make_rays(origin, direction))
+
+
+def test_pallas_matches_xla_traversal(rng):
+    mesh = make_random_triangles(800, seed=31)
+    bvh = build_bvh(mesh).as_device()
+    scene = prepare_scene(bvh)
+    origin = rng.uniform(-12, 12, (3, 128, 3)).astype(np.float32)
+    direction = rng.normal(size=(3, 128, 3)).astype(np.float32)
+    rays = make_rays(origin, direction)
+    p_t, p_tri, _ = trace_packets_pallas(
+        scene, rays_to_rays9(rays), stack_size=64, interpret=True
+    )
+    x = trace_packets(bvh, rays, stack_size=64)
+    hits = np.asarray(x.tri) >= 0
+    assert ((np.asarray(p_tri) >= 0) == hits).all()
+    np.testing.assert_allclose(
+        np.asarray(p_t)[hits], np.asarray(x.t)[hits], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pallas_finalize_path(rng):
+    mesh = make_uv_sphere(rings=12, segments=20)
+    from minipath_tpu.scene.triangle_bvh import TriangleBvh
+
+    obj = TriangleBvh.build(mesh)
+    scene = prepare_scene(obj.arrays)
+    n = 128
+    origin = np.tile(np.array([0, 0, -4], np.float32), (1, n, 1))
+    direction = np.array([0, 0, 1], np.float32) + 0.2 * rng.normal(size=(1, n, 3)).astype(np.float32)
+    rays = make_rays(origin, direction)
+    hp = intersect_bvh_pallas(obj.arrays, scene, rays, stack_size=48, interpret=True)
+    hx = obj.intersect(rays)
+    np.testing.assert_array_equal(np.asarray(hp.hit), np.asarray(hx.hit))
+    m = np.asarray(hx.hit)
+    np.testing.assert_allclose(
+        np.asarray(hp.normal)[m], np.asarray(hx.normal)[m], atol=1e-5
+    )
+
+
+def test_pallas_empty_root():
+    from minipath_tpu.scene.obj_loader import MeshData
+
+    bvh = build_bvh(MeshData()).as_device()
+    scene = prepare_scene(bvh)
+    rays = make_rays(
+        np.zeros((1, 128, 3), np.float32), np.ones((1, 128, 3), np.float32)
+    )
+    t, tri, _ = trace_packets_pallas(
+        scene, rays_to_rays9(rays), stack_size=8, interpret=True
+    )
+    assert (np.asarray(tri) == -1).all()
+
+
+def test_pallas_in_kernel_shading_matches_finalize(rng):
+    """The kernel's |d.n| must equal shade via finalize_hits (smooth + flat)."""
+    from minipath_tpu.scene.procedural import make_quad
+    from minipath_tpu.render.integrator import shade_normal_dot
+
+    for mesh in [make_uv_sphere(rings=10, segments=16), make_quad(2.0)]:
+        bvh = build_bvh(mesh).as_device()
+        scene = prepare_scene(bvh)
+        origin = np.tile(np.array([0, 0, -4], np.float32), (1, 128, 1))
+        direction = np.array([0, 0, 1], np.float32) + 0.3 * rng.normal(
+            size=(1, 128, 3)
+        ).astype(np.float32)
+        rays = make_rays(origin, direction)
+        t, tri, dot = trace_packets_pallas(
+            scene, rays_to_rays9(rays), stack_size=48, interpret=True
+        )
+        from minipath_tpu.render.traversal import intersect_bvh
+
+        hits = intersect_bvh(bvh, rays, stack_size=48)
+        want = shade_normal_dot(rays, hits)[..., 0]
+        got = np.asarray(dot) * (np.asarray(tri) >= 0)
+        np.testing.assert_allclose(got, np.asarray(want), atol=2e-5)
