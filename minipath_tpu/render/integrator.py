@@ -118,3 +118,163 @@ def render_tile_sum_sphere(
     rgba = shade_normal_dot(rays, hits)
     rgba_sum = rgba.reshape(spp, nb, P, 4).sum(axis=0)
     return unpack_tile(rgba_sum, tile_shape, packet_shape)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tile_shape", "packet_shape", "spp", "stack_size"),
+)
+def render_tile_sum_bvh_pallas(
+    scene,
+    sampler: CameraSampler,
+    tile_origin,
+    key,
+    *,
+    tile_shape,
+    packet_shape,
+    spp: int,
+    stack_size: int,
+) -> jnp.ndarray:
+    """Pallas-kernel version of :func:`render_tile_sum_bvh`.
+
+    Packets are multi-sample (pixel tile x spp, sample-major) and shading
+    comes from the kernel's in-kernel |d.n| output, so there are no per-ray
+    gathers. ``spp`` here is per-pass (the machinery chunks larger sample
+    counts); keep ``packet pixels * spp`` within a few thousand rays.
+    """
+    from minipath_tpu.render.pallas_kernels import (
+        rays_to_rays9,
+        trace_packets_pallas,
+    )
+
+    pix = tile_pixel_packets(tile_origin, tile_shape, packet_shape)  # (nb,bp,2)
+    nb, bp = pix.shape[:2]
+    pix = jnp.tile(pix, (1, spp, 1))  # sample-major (nb, spp*bp, 2)
+    rays = sample_rays(sampler, pix, key)
+    _t, tri, dot = trace_packets_pallas(
+        scene, rays_to_rays9(rays), stack_size=stack_size
+    )
+    hit = (tri >= 0).astype(jnp.float32)
+    shaded = dot * hit
+    rgba = jnp.stack([shaded, shaded, shaded, hit], axis=-1)  # (nb, spp*bp, 4)
+    rgba_sum = rgba.reshape(nb, spp, bp, 4).sum(axis=1)
+    return unpack_tile(rgba_sum, tile_shape, packet_shape)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tile_shape", "packet_shape", "spp", "stack_size"),
+)
+def render_tile_batch_bvh_pallas(
+    scene,
+    sampler: CameraSampler,
+    tile_origins,  # (K, 2) f32
+    tile_indices,  # (K,) i32 — global tile ids for RNG decorrelation
+    key,
+    *,
+    tile_shape,
+    packet_shape,
+    spp: int,
+    stack_size: int,
+) -> jnp.ndarray:
+    """Batched-tile Pallas renderer: K tiles per device dispatch.
+
+    One dispatch per ~25 ms host<->device roundtrip is the scheduler's unit
+    of work, so tiles are batched (the reference's analog is one tile per
+    worker-thread loop iteration, machinery.rs:70-91). Returns
+    ``(K, th, tw, 4)`` RGBA sums over ``spp`` samples.
+    """
+    from minipath_tpu.render.pallas_kernels import (
+        rays_to_rays9,
+        trace_packets_pallas,
+    )
+
+    K = tile_origins.shape[0]
+    base = tile_pixel_packets((0.0, 0.0), tile_shape, packet_shape)  # (nb,bp,2)
+    nb, bp = base.shape[:2]
+    pix = base[None] + tile_origins[:, None, None, :]  # (K, nb, bp, 2)
+    pix = pix.reshape(K * nb, bp, 2)
+    pix = jnp.tile(pix, (1, spp, 1))  # sample-major (K*nb, spp*bp, 2)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(tile_indices)  # (K,)
+    # One key per tile: expand to packets by folding packet index.
+    pkt_keys = jax.vmap(
+        lambda k: jax.vmap(lambda j: jax.random.fold_in(k, j))(jnp.arange(nb))
+    )(keys).reshape(K * nb)
+    rays = jax.vmap(lambda p, k: sample_rays(sampler, p, k))(pix, pkt_keys)
+    _t, tri, dot = trace_packets_pallas(
+        scene, rays_to_rays9(rays), stack_size=stack_size
+    )
+    hit = (tri >= 0).astype(jnp.float32)
+    shaded = dot * hit
+    rgba = jnp.stack([shaded, shaded, shaded, hit], axis=-1)
+    rgba_sum = rgba.reshape(K, nb, spp, bp, 4).sum(axis=2)
+    tiles = jax.vmap(
+        lambda v: unpack_tile(v, tile_shape, packet_shape)
+    )(rgba_sum)
+    return tiles
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tile_shape", "packet_shape", "spp", "stack_size"),
+)
+def render_tile_batch_bvh_xla(
+    bvh: BvhArrays,
+    sampler: CameraSampler,
+    tile_origins,
+    tile_indices,
+    key,
+    *,
+    tile_shape,
+    packet_shape,
+    spp: int,
+    stack_size: int,
+) -> jnp.ndarray:
+    """Batched-tile portable (pure-XLA) renderer, same contract as the
+    Pallas version."""
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(tile_indices)
+
+    def one(origin, k):
+        return render_tile_sum_bvh(
+            bvh,
+            sampler,
+            origin,
+            k,
+            tile_shape=tile_shape,
+            packet_shape=packet_shape,
+            spp=spp,
+            stack_size=stack_size,
+        )
+
+    return jax.vmap(one)(tile_origins, keys)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sphere", "tile_shape", "packet_shape", "spp"),
+)
+def render_tile_batch_sphere(
+    sphere,
+    sampler: CameraSampler,
+    tile_origins,
+    tile_indices,
+    key,
+    *,
+    tile_shape,
+    packet_shape,
+    spp: int,
+) -> jnp.ndarray:
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(tile_indices)
+
+    def one(origin, k):
+        return render_tile_sum_sphere(
+            sphere,
+            sampler,
+            origin,
+            k,
+            tile_shape=tile_shape,
+            packet_shape=packet_shape,
+            spp=spp,
+        )
+
+    return jax.vmap(one)(tile_origins, keys)

@@ -115,12 +115,16 @@ def render(
     seed: int = 0,
     samples_per_pass: int | None = None,
     tile_rng=None,
+    backend: str = "auto",
 ) -> RenderProgress:
     """Start rendering; returns immediately with a :class:`RenderProgress`.
 
     Callbacks fire on the driver thread: ``started_tile_callback(tile)`` and
     ``finished_tile_callback(tile, snapshot)`` with a
     :class:`RenderProgressSnapshot`, mirroring ``machinery.rs:75,93-99``.
+
+    ``backend``: "pallas" (TPU kernel), "xla" (portable engine), or "auto"
+    (pallas on accelerators, xla on CPU).
     """
     width, height = settings.resolution
     # The render dispatch shape is padded up to packet multiples; edge tiles
@@ -137,31 +141,59 @@ def render(
 
     obj = scene.object
     spp_total = settings.sample_count
-    spp_pass = min(samples_per_pass or 32, spp_total)
+    # Equal-size sample passes: every pass compiles to the SAME program
+    # (per-config Mosaic compiles cost minutes, so one config only).
+    max_pass = samples_per_pass or 32
+    n_passes = -(-spp_total // max_pass)
+    spp_pass = -(-spp_total // n_passes)
+    # Rounds the effective sample count up to n_passes * spp_pass.
+    spp_effective = n_passes * spp_pass
+
+    if backend == "auto":
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
 
     if isinstance(obj, TriangleBvh):
-        bvh_arrays = obj.arrays
         stack_size = obj.recommended_stack_size
+        if backend == "pallas":
+            pallas_scene = obj.pallas_scene
 
-        def tile_sum(origin, key, spp):
-            return integrator.render_tile_sum_bvh(
-                bvh_arrays,
-                sampler,
-                origin,
-                key,
-                tile_shape=tile_shape,
-                packet_shape=PACKET_SHAPE,
-                spp=spp,
-                stack_size=stack_size,
-            )
+            def tile_batch(origins, indices, key, spp):
+                return integrator.render_tile_batch_bvh_pallas(
+                    pallas_scene,
+                    sampler,
+                    origins,
+                    indices,
+                    key,
+                    tile_shape=tile_shape,
+                    packet_shape=PACKET_SHAPE,
+                    spp=spp,
+                    stack_size=stack_size,
+                )
+
+        else:
+            bvh_arrays = obj.arrays
+
+            def tile_batch(origins, indices, key, spp):
+                return integrator.render_tile_batch_bvh_xla(
+                    bvh_arrays,
+                    sampler,
+                    origins,
+                    indices,
+                    key,
+                    tile_shape=tile_shape,
+                    packet_shape=PACKET_SHAPE,
+                    spp=spp,
+                    stack_size=stack_size,
+                )
 
     elif isinstance(obj, Sphere):
 
-        def tile_sum(origin, key, spp):
-            return integrator.render_tile_sum_sphere(
+        def tile_batch(origins, indices, key, spp):
+            return integrator.render_tile_batch_sphere(
                 obj,
                 sampler,
-                origin,
+                origins,
+                indices,
                 key,
                 tile_shape=tile_shape,
                 packet_shape=PACKET_SHAPE,
@@ -174,40 +206,63 @@ def render(
     sampler = camera.build_sampler(settings.resolution)
     base_key = jax.random.key(seed)
 
+    tiles_per_dispatch = max(1, min(32, len(tiles)))
+
+    def compute_batch(batch_start):
+        batch = tiles[batch_start : batch_start + tiles_per_dispatch]
+        origins = np.array([t.min for t in batch], np.float32)
+        indices = np.arange(batch_start, batch_start + len(batch), dtype=np.int32)
+        # Pad the last batch to the compiled batch size.
+        pad = tiles_per_dispatch - len(batch)
+        if pad:
+            origins = np.concatenate([origins, np.tile(origins[-1:], (pad, 1))])
+            indices = np.concatenate([indices, np.full(pad, indices[-1], np.int32)])
+        acc = None
+        for p in range(n_passes):
+            part = tile_batch(
+                jnp.asarray(origins),
+                jnp.asarray(indices),
+                jax.random.fold_in(base_key, p),
+                spp_pass,
+            )
+            acc = part if acc is None else acc + part
+        return batch, acc  # device array (K, th, tw, 4); fetch later
+
+    def write_batch(batch, acc):
+        means = np.asarray(acc) / spp_effective  # single fetch per batch
+        for tile, mean in zip(batch, means):
+            x0, y0 = int(tile.min[0]), int(tile.min[1])
+            x1, y1 = int(tile.max[0]), int(tile.max[1])
+            tile_u8 = color_to_image(mean[: y1 - y0, : x1 - x0])
+            with state.image_lock:
+                state.image[y0:y1, x0:x1] = tile_u8
+            state.finished_count += 1
+            if finished_tile_callback is not None:
+                finished_tile_callback(
+                    tile,
+                    RenderProgressSnapshot(
+                        finished=state.finished_count, total=len(tiles)
+                    ),
+                )
+
     def driver():
         try:
-            for tile_index, tile in enumerate(tiles):
+            pending = None  # (batch, device acc) — double buffer
+            for start in range(0, len(tiles), tiles_per_dispatch):
                 if state.abort_flag.is_set():
                     break
+                batch = tiles[start : start + tiles_per_dispatch]
                 if started_tile_callback is not None:
-                    started_tile_callback(tile)
-
-                origin = jnp.asarray(tile.min, jnp.float32)
-                tile_key = jax.random.fold_in(base_key, tile_index)
-                acc = None
-                done = 0
-                while done < spp_total:
-                    n = min(spp_pass, spp_total - done)
-                    pass_key = jax.random.fold_in(tile_key, done)
-                    part = tile_sum(origin, pass_key, n)
-                    acc = part if acc is None else acc + part
-                    done += n
-                mean = np.asarray(acc) / spp_total  # (th, tw, 4)
-
-                x0, y0 = int(tile.min[0]), int(tile.min[1])
-                x1, y1 = int(tile.max[0]), int(tile.max[1])
-                tile_u8 = color_to_image(mean[: y1 - y0, : x1 - x0])
-                with state.image_lock:
-                    state.image[y0:y1, x0:x1] = tile_u8
-                state.finished_count += 1
-
-                if finished_tile_callback is not None:
-                    finished_tile_callback(
-                        tile,
-                        RenderProgressSnapshot(
-                            finished=state.finished_count, total=len(tiles)
-                        ),
-                    )
+                    for t in batch:
+                        started_tile_callback(t)
+                current = compute_batch(start)  # async dispatch
+                if pending is not None:
+                    write_batch(*pending)  # fetch previous while current runs
+                pending = current
+            # Already-dispatched work still lands, mirroring the reference's
+            # abort semantics (running tiles finish; machinery.rs:161-165).
+            if pending is not None:
+                write_batch(*pending)
         finally:
             state.end_time = time.monotonic()
 

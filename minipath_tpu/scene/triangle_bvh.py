@@ -24,6 +24,7 @@ class TriangleBvh:
     def __init__(self, build_result: BuildResult):
         self._build = build_result
         self._device_arrays: BvhArrays | None = None
+        self._pallas_scene = None
 
     # -- constructors -----------------------------------------------------------
 
@@ -44,6 +45,15 @@ class TriangleBvh:
         if self._device_arrays is None:
             self._device_arrays = self._build.as_device()
         return self._device_arrays
+
+    @property
+    def pallas_scene(self):
+        """Kernel-layout scene arrays (lazy; see render/pallas_kernels.py)."""
+        if self._pallas_scene is None:
+            from minipath_tpu.render.pallas_kernels import prepare_scene
+
+            self._pallas_scene = prepare_scene(self.arrays)
+        return self._pallas_scene
 
     @property
     def host_arrays(self) -> BvhArrays:
