@@ -61,13 +61,13 @@ def _render_chunk(
     rays9, _counts = gen_frame_rays9(
         sampler, key, width=width, height=height, px_block=px_block, samples=samples
     )
-    _t, best_tri, best_dot = trace_packets_pallas(
-        scene, rays9, stack_size=stack_size
-    )
+    kh = trace_packets_pallas(scene, rays9, stack_size=stack_size)
     # Parity shading entirely from kernel outputs — no per-ray gathers
     # (worker.rs:59-64: grayscale |d.n| with alpha on hit, transparent miss).
-    hit = (best_tri >= 0).astype(jnp.float32)
-    shaded = best_dot * hit
+    rays = rays9_to_rays(rays9)
+    dot = jnp.abs(jnp.sum(rays.direction * kh.normal, axis=-1))
+    hit = (kh.tri >= 0).astype(jnp.float32)
+    shaded = dot * hit
     rgba = jnp.stack([shaded, shaded, shaded, hit], axis=-1)  # (B, P, 4)
     B, P, _ = rgba.shape
     bp = P // samples

@@ -151,10 +151,9 @@ def render_tile_sum_bvh_pallas(
     nb, bp = pix.shape[:2]
     pix = jnp.tile(pix, (1, spp, 1))  # sample-major (nb, spp*bp, 2)
     rays = sample_rays(sampler, pix, key)
-    _t, tri, dot = trace_packets_pallas(
-        scene, rays_to_rays9(rays), stack_size=stack_size
-    )
-    hit = (tri >= 0).astype(jnp.float32)
+    kh = trace_packets_pallas(scene, rays_to_rays9(rays), stack_size=stack_size)
+    dot = jnp.abs(jnp.sum(rays.direction * kh.normal, axis=-1))
+    hit = (kh.tri >= 0).astype(jnp.float32)
     shaded = dot * hit
     rgba = jnp.stack([shaded, shaded, shaded, hit], axis=-1)  # (nb, spp*bp, 4)
     rgba_sum = rgba.reshape(nb, spp, bp, 4).sum(axis=1)
@@ -201,10 +200,9 @@ def render_tile_batch_bvh_pallas(
         lambda k: jax.vmap(lambda j: jax.random.fold_in(k, j))(jnp.arange(nb))
     )(keys).reshape(K * nb)
     rays = jax.vmap(lambda p, k: sample_rays(sampler, p, k))(pix, pkt_keys)
-    _t, tri, dot = trace_packets_pallas(
-        scene, rays_to_rays9(rays), stack_size=stack_size
-    )
-    hit = (tri >= 0).astype(jnp.float32)
+    kh = trace_packets_pallas(scene, rays_to_rays9(rays), stack_size=stack_size)
+    dot = jnp.abs(jnp.sum(rays.direction * kh.normal, axis=-1))
+    hit = (kh.tri >= 0).astype(jnp.float32)
     shaded = dot * hit
     rgba = jnp.stack([shaded, shaded, shaded, hit], axis=-1)
     rgba_sum = rgba.reshape(K, nb, spp, bp, 4).sum(axis=2)

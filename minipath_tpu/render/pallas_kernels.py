@@ -33,6 +33,15 @@ from minipath_tpu.scene.bvh.build import BvhArrays
 _NULL = L.NULL_LINK
 
 
+class KernelHits(NamedTuple):
+    """Kernel trace output (everything an integrator needs, no gathers)."""
+
+    t: jnp.ndarray  # (B, P) f32, t_max where miss
+    tri: jnp.ndarray  # (B, P) i32, -1 on miss
+    normal: jnp.ndarray  # (B, P, 3) f32 shading normal (zeros on miss)
+    material: jnp.ndarray  # (B, P) i32
+
+
 class PallasScene(NamedTuple):
     """Scene arrays laid out for the kernel (derived from BvhArrays).
 
@@ -45,6 +54,7 @@ class PallasScene(NamedTuple):
     node_links: jnp.ndarray  # (N, 8) i32
     tri_data: jnp.ndarray  # (M, 72) f32: per lane l, [l*9:l*9+9] = v0, e1, e2
     tri_shade: jnp.ndarray  # (M, 72) f32: per lane l, vertex normals n0,n1,n2
+    tri_mat: jnp.ndarray  # (M, 8) i32: material id per lane
     root: jnp.ndarray  # (1, 1) i32
 
 
@@ -73,12 +83,15 @@ def prepare_scene(bvh: BvhArrays) -> PallasScene:
     vnorm = jnp.where(flat[..., None, None], geom[:, :, None, :], vnorm)
     tri_shade = vnorm.reshape(M, 72)
 
+    tri_mat = bvh.tri_material.reshape(M, 8).astype(jnp.int32)
+
     root = jnp.asarray(bvh.root, jnp.int32).reshape(1, 1)
     return PallasScene(
         node_box=node_box.astype(jnp.float32),
         node_links=bvh.node_child_links.astype(jnp.int32),
         tri_data=tri_data.astype(jnp.float32),
         tri_shade=tri_shade.astype(jnp.float32),
+        tri_mat=tri_mat,
         root=root,
     )
 
@@ -89,10 +102,14 @@ def _traverse_kernel(
     node_links_ref,  # VMEM (N, 8) i32
     tri_ref,  # VMEM (M, 72) f32
     shade_ref,  # VMEM (M, 72) f32 — per-lane vertex normals
+    mat_ref,  # VMEM (M, 8) i32 — per-lane material ids
     rays_ref,  # VMEM (1, 9, P) f32 — packet block
     t_ref,  # out VMEM (1, P) f32
     tri_out_ref,  # out VMEM (1, P) i32
-    dot_ref,  # out VMEM (1, P) f32 — |ray_dir . shading_normal| at best hit
+    nx_ref,  # out VMEM (1, P) f32 — shading normal at best hit (normalized)
+    ny_ref,
+    nz_ref,
+    mat_out_ref,  # out VMEM (1, P) i32 — material id at best hit
     stack_ref,  # SMEM scratch (S,) i32 — encoded node links
     stack_t_ref,  # SMEM scratch (S,) f32 — packet-min entry distance
     *,
@@ -115,11 +132,11 @@ def _traverse_kernel(
     stack_t_ref[0] = 0.0
 
     def cond(carry):
-        sp, _, _, _, _ = carry
+        sp = carry[0]
         return sp > 0
 
     def body(carry):
-        sp, max_best, best_t, best_tri, best_dot = carry
+        sp, max_best, best_t, best_tri, bnx, bny, bnz, bmat = carry
         link = stack_ref[sp - 1]
         t_entry = stack_t_ref[sp - 1]
         sp = sp - 1
@@ -128,7 +145,7 @@ def _traverse_kernel(
         is_leaf = count != 0
 
         def inner_case(args):
-            sp, max_best, best_t, best_tri, best_dot = args
+            sp, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
             boxes = node_box_ref[idx]  # (48,)
             clinks = node_links_ref[idx]  # (8,)
             child_links = []
@@ -198,12 +215,13 @@ def _traverse_kernel(
                     stack_t_ref[sp] = child_tmin[c]
 
                 sp = sp + push.astype(jnp.int32)
-            return sp, max_best, best_t, best_tri, best_dot
+            return sp, max_best, best_t, best_tri, bnx, bny, bnz, bmat
 
         def leaf_case(args):
-            sp, max_best, best_t, best_tri, best_dot = args
+            sp, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
             tris = tri_ref[idx]  # (72,)
             shade = shade_ref[idx]  # (72,)
+            mats = mat_ref[idx]  # (8,)
             for lane in range(8):
                 o = lane * 9
                 v0x, v0y, v0z = tris[o + 0], tris[o + 1], tris[o + 2]
@@ -235,9 +253,10 @@ def _traverse_kernel(
                     ok, idx * L.LEAF_NODE_PACKET_SIZE + lane, best_tri
                 )
                 best_t = jnp.where(ok, t, best_t)
-                # In-kernel parity shading: interpolate vertex normals with
-                # the hit barycentrics, normalize, take |d . n|
-                # (ray_bvh_intersection.rs:76-85 + worker.rs:59-63).
+                # In-kernel shading data: interpolate vertex normals with
+                # the hit barycentrics and normalize
+                # (ray_bvh_intersection.rs:76-85). Flat triangles carry
+                # their geometric normal in all three slots.
                 n0x, n0y, n0z = shade[o + 0], shade[o + 1], shade[o + 2]
                 n1x, n1y, n1z = shade[o + 3], shade[o + 4], shade[o + 5]
                 n2x, n2y, n2z = shade[o + 6], shade[o + 7], shade[o + 8]
@@ -245,10 +264,13 @@ def _traverse_kernel(
                 nx = n0x * w + n1x * u + n2x * v
                 ny = n0y * w + n1y * u + n2y * v
                 nz = n0z * w + n1z * u + n2z * v
-                dot = dx * nx + dy * ny + dz * nz
-                nn = nx * nx + ny * ny + nz * nz
-                dot = jnp.abs(dot) * jax.lax.rsqrt(jnp.maximum(nn, 1e-30))
-                best_dot = jnp.where(ok, dot, best_dot)
+                inv_len = jax.lax.rsqrt(
+                    jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
+                )
+                bnx = jnp.where(ok, nx * inv_len, bnx)
+                bny = jnp.where(ok, ny * inv_len, bny)
+                bnz = jnp.where(ok, nz * inv_len, bnz)
+                bmat = jnp.where(ok, mats[lane], bmat)
 
             max_best = jnp.max(best_t)
             cont = count > 1
@@ -259,7 +281,7 @@ def _traverse_kernel(
                 stack_t_ref[sp] = t_entry
 
             sp = sp + cont.astype(jnp.int32)
-            return sp, max_best, best_t, best_tri, best_dot
+            return sp, max_best, best_t, best_tri, bnx, bny, bnz, bmat
 
         def skip_case(args):
             return args
@@ -272,19 +294,33 @@ def _traverse_kernel(
             live,
             lambda args: jax.lax.cond(is_leaf, leaf_case, inner_case, args),
             skip_case,
-            (sp, max_best, best_t, best_tri, best_dot),
+            (sp, max_best, best_t, best_tri, bnx, bny, bnz, bmat),
         )
 
     best_t0 = jnp.full((S, LANES), t_max, jnp.float32)
     best_tri0 = jnp.full((S, LANES), -1, jnp.int32)
-    best_dot0 = jnp.zeros((S, LANES), jnp.float32)
+    zeros = jnp.zeros((S, LANES), jnp.float32)
     sp0 = jnp.where(root == _NULL, 0, 1).astype(jnp.int32)
-    _, _, best_t, best_tri, best_dot = jax.lax.while_loop(
-        cond, body, (sp0, jnp.float32(t_max), best_t0, best_tri0, best_dot0)
+    _, _, best_t, best_tri, bnx, bny, bnz, bmat = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            sp0,
+            jnp.float32(t_max),
+            best_t0,
+            best_tri0,
+            zeros,
+            zeros,
+            zeros,
+            jnp.zeros((S, LANES), jnp.int32),
+        ),
     )
     t_ref[0] = best_t
     tri_out_ref[0] = best_tri
-    dot_ref[0] = best_dot
+    nx_ref[0] = bnx
+    ny_ref[0] = bny
+    nz_ref[0] = bnz
+    mat_out_ref[0] = bmat
 
 
 @functools.partial(
@@ -298,10 +334,11 @@ def trace_packets_pallas(
     t_max: float = np.inf,
     interpret: bool = False,
 ):
-    """Returns ``(best_t, best_tri, best_dot)`` each ``(B, P)``.
+    """Returns a :class:`KernelHits` with ``(B, P)`` fields.
 
-    ``best_tri`` is -1 on miss; ``best_dot`` is the in-kernel parity shading
-    value |ray_dir . shading_normal| at the best hit (0 on miss).
+    ``tri`` is -1 on miss; ``normal`` is the interpolated + normalized
+    shading normal at the best hit (zeros on miss); ``material`` is the hit
+    triangle's material id.
 
     ``rays9`` is ``(B, 9, P//128, 128)`` (see :func:`rays_to_rays9`).
     """
@@ -326,26 +363,31 @@ def trace_packets_pallas(
                 scene.tri_shade.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
+                scene.tri_mat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
                 (1, 9, S, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ]
+        * 6,
         scratch_shapes=[
             pltpu.SMEM((stack_size,), jnp.int32),
             pltpu.SMEM((stack_size,), jnp.float32),
         ],
     )
-    best_t, best_tri, best_dot = pl.pallas_call(
+    best_t, best_tri, nx, ny, nz, mat = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),
             jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(
@@ -354,12 +396,16 @@ def trace_packets_pallas(
         scene.node_links,
         scene.tri_data,
         scene.tri_shade,
+        scene.tri_mat,
         rays9,
     )
-    return (
-        best_t.reshape(B, P),
-        best_tri.reshape(B, P),
-        best_dot.reshape(B, P),
+    return KernelHits(
+        t=best_t.reshape(B, P),
+        tri=best_tri.reshape(B, P),
+        normal=jnp.stack(
+            [nx.reshape(B, P), ny.reshape(B, P), nz.reshape(B, P)], axis=-1
+        ),
+        material=mat.reshape(B, P),
     )
 
 
@@ -385,13 +431,14 @@ def intersect_bvh_pallas(
     """Trace via the kernel, then finalize hits with the shared jnp code."""
     from minipath_tpu.render.traversal import TraceResult, finalize_hits
 
-    best_t, best_tri, _best_dot = trace_packets_pallas(
+    kh = trace_packets_pallas(
         scene,
         rays_to_rays9(rays),
         stack_size=stack_size,
         t_max=t_max,
         interpret=interpret,
     )
+    best_t, best_tri = kh.t, kh.tri
     miss = best_tri < 0
     result = TraceResult(
         t=jnp.where(miss, jnp.inf, best_t), tri=best_tri, steps=jnp.int32(0)

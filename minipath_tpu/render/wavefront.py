@@ -1,0 +1,369 @@
+"""Wavefront path tracer — the renderer's north-star integrator.
+
+This extends the reference's primary-ray-only worker
+(``/root/reference/src/renderer/worker.rs:51-65``) into a full Monte Carlo
+path tracer, built the TPU-first way (BASELINE.json north star): per-bounce
+SoA ray queues over the Pallas traversal kernel, masked BSDF sampling with
+counter-based RNG, and cumsum-based stream compaction so dead lanes are
+squeezed out of packets between bounces. A "megakernel" mode keeps dead
+lanes in place (no compaction) for the convergence/perf comparison the
+benchmark configs call for.
+
+All hit data (normal, material) comes out of the traversal kernel, so
+bounces do no per-ray gathers except the O(#materials) table lookups.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from minipath_tpu.camera import CameraSampler, sample_rays
+from minipath_tpu.parallel.mesh import gen_frame_rays9, unpack_frame
+from minipath_tpu.render.pallas_kernels import (
+    KernelHits,
+    PallasScene,
+    trace_packets_pallas,
+)
+from minipath_tpu.scene.materials import (
+    DIELECTRIC,
+    EMISSIVE,
+    Environment,
+    LAMBERTIAN,
+    METAL,
+    MaterialTable,
+)
+
+_EPS = 1e-3  # self-intersection offset along the facing normal
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
+def _normalize(v):
+    return v * jax.lax.rsqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-30))
+
+
+def _sample_unit_vector(key, shape):
+    """Uniform directions on the sphere, shape ``(..., 3)``."""
+    k1, k2 = jax.random.split(key)
+    z = jax.random.uniform(k1, shape, minval=-1.0, maxval=1.0)
+    phi = jax.random.uniform(k2, shape, minval=0.0, maxval=2.0 * np.pi)
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def _reflect(d, n):
+    return d - 2.0 * _dot(d, n) * n
+
+
+def scatter(
+    materials: MaterialTable, key, direction, normal, mat_id
+):
+    """Masked BSDF sampling for a batch of hits.
+
+    Args are ``(..., 3)`` ray directions and shading normals plus ``(...)``
+    material ids. Returns ``(new_direction, attenuation, emitted, terminate)``
+    — all branches are computed and selected per-lane (lockstep-friendly).
+    """
+    kind = materials.kind[mat_id]  # (...)
+    albedo = materials.albedo[mat_id]  # (..., 3)
+    emission = materials.emission[mat_id]
+    param = materials.param[mat_id]  # (...)
+
+    d_dot_n = _dot(direction, normal)  # (..., 1)
+    front = d_dot_n < 0.0  # ray hits the front face
+    nf = jnp.where(front, normal, -normal)  # facing normal
+
+    k_lam, k_fuzz, k_refr = jax.random.split(key, 3)
+    batch = mat_id.shape
+
+    # Lambertian: cosine-weighted via (nf + unit vector).
+    lam_dir = _normalize(nf + _sample_unit_vector(k_lam, batch))
+    # Guard the degenerate case (unit vector ~ -nf).
+    lam_bad = jnp.sum(lam_dir * nf, axis=-1, keepdims=True) <= 1e-6
+    lam_dir = jnp.where(lam_bad, nf, lam_dir)
+
+    # Metal: mirror + fuzz.
+    met_dir = _normalize(
+        _reflect(direction, nf) + param[..., None] * _sample_unit_vector(k_fuzz, batch)
+    )
+    met_absorbed = jnp.sum(met_dir * nf, axis=-1) <= 0.0
+
+    # Dielectric: refract or reflect (Schlick).
+    ior = jnp.maximum(param, 1.0001)
+    eta = jnp.where(front[..., 0], 1.0 / ior, ior)[..., None]
+    cos_theta = jnp.minimum(-_dot(direction, nf), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    cannot_refract = eta * sin_theta > 1.0
+    r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
+    schlick = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
+    reflectance_rand = jax.random.uniform(k_refr, batch)[..., None]
+    do_reflect = cannot_refract | (schlick > reflectance_rand)
+    perp = eta * (direction + cos_theta * nf)
+    para = -jnp.sqrt(jnp.abs(1.0 - jnp.sum(perp * perp, axis=-1, keepdims=True))) * nf
+    refr_dir = _normalize(perp + para)
+    refl_dir = _normalize(_reflect(direction, nf))
+    die_dir = jnp.where(do_reflect, refl_dir, refr_dir)
+
+    is_lam = (kind == LAMBERTIAN)[..., None]
+    is_met = (kind == METAL)[..., None]
+    is_die = (kind == DIELECTRIC)[..., None]
+    is_emi = kind == EMISSIVE
+
+    new_dir = jnp.where(
+        is_lam, lam_dir, jnp.where(is_met, met_dir, jnp.where(is_die, die_dir, nf))
+    )
+    attenuation = jnp.where(
+        is_die, jnp.ones_like(albedo), jnp.where(is_emi[..., None], 0.0, albedo)
+    )
+    emitted = jnp.where(is_emi[..., None], emission, 0.0)
+    terminate = is_emi | (is_met[..., 0] & met_absorbed)
+    return new_dir, attenuation, emitted, terminate
+
+
+def make_pallas_tracer(scene: PallasScene, *, stack_size: int, packet_size: int = 2048):
+    """Tracer over the Pallas kernel: ``tracer(o, d, inv) -> KernelHits``
+    with flat ``(N,)`` fields. N must be a multiple of ``packet_size``."""
+
+    def tracer(origin, direction, inv_direction):
+        N = origin.shape[0]
+        B = N // packet_size
+        r9 = jnp.concatenate([origin, direction, inv_direction], axis=-1)
+        r9 = jnp.swapaxes(r9.reshape(B, packet_size, 9), 1, 2)
+        r9 = r9.reshape(B, 9, packet_size // 128, 128)
+        kh = trace_packets_pallas(scene, r9, stack_size=stack_size)
+        return KernelHits(
+            t=kh.t.reshape(N),
+            tri=kh.tri.reshape(N),
+            normal=kh.normal.reshape(N, 3),
+            material=kh.material.reshape(N),
+        )
+
+    return tracer
+
+
+def make_xla_tracer(bvh, *, stack_size: int, packet_size: int = 256):
+    """Portable tracer over the pure-XLA packet traversal (CPU-friendly)."""
+    from minipath_tpu.geometry.ray import Rays
+    from minipath_tpu.render.traversal import finalize_hits, trace_packets
+
+    def tracer(origin, direction, inv_direction):
+        N = origin.shape[0]
+        B = N // packet_size
+        rays = Rays(
+            origin=origin.reshape(B, packet_size, 3),
+            direction=direction.reshape(B, packet_size, 3),
+            inv_direction=inv_direction.reshape(B, packet_size, 3),
+        )
+        res = trace_packets(bvh, rays, stack_size=stack_size)
+        hits = finalize_hits(bvh, rays, res)
+        return KernelHits(
+            t=jnp.where(res.tri >= 0, res.t, jnp.inf).reshape(N),
+            tri=res.tri.reshape(N),
+            normal=hits.normal.reshape(N, 3),
+            material=hits.material.reshape(N),
+        )
+
+    return tracer
+
+
+class _PathState(NamedTuple):
+    origin: jnp.ndarray  # (N, 3)
+    direction: jnp.ndarray  # (N, 3)
+    inv_direction: jnp.ndarray  # (N, 3)
+    throughput: jnp.ndarray  # (N, 3)
+    radiance: jnp.ndarray  # (N, 3)
+    pixel: jnp.ndarray  # (N,) i32 — flat pixel index in packet layout
+    active: jnp.ndarray  # (N,) bool
+
+
+def _compact(state: _PathState) -> _PathState:
+    """Stable partition: active rays to the front (cumsum-based; cheap
+    O(N) scans instead of a sort). Keeps packets full of live rays."""
+    active_i = state.active.astype(jnp.int32)
+    n_active = jnp.sum(active_i)
+    pos_active = jnp.cumsum(active_i) - active_i
+    pos_dead = n_active + jnp.cumsum(1 - active_i) - (1 - active_i)
+    dest = jnp.where(state.active, pos_active, pos_dead)
+
+    def scat(a):
+        return jnp.zeros_like(a).at[dest].set(a)
+
+    return _PathState(*(scat(f) for f in state))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "tracer",
+        "width",
+        "height",
+        "px_block",
+        "samples",
+        "bounces",
+        "compaction",
+    ),
+)
+def _pt_chunk(
+    materials: MaterialTable,
+    env: Environment,
+    sampler: CameraSampler,
+    key,
+    *,
+    tracer,
+    width: int,
+    height: int,
+    px_block,
+    samples: int,
+    bounces: int,
+    compaction: bool,
+):
+    """Trace ``samples`` spp of camera paths; returns ``(B0, bp, 3)`` RGB
+    sums per packet-pixel (same layout as the parity frame renderer)."""
+    rays9, _ = gen_frame_rays9(
+        sampler, key, width=width, height=height, px_block=px_block, samples=samples
+    )
+    B0, _, S, LN = rays9.shape
+    P0 = S * LN
+    N = B0 * P0
+    flat = jnp.swapaxes(rays9.reshape(B0, 9, P0), 1, 2).reshape(N, 9)
+    pixel = jnp.arange(N, dtype=jnp.int32)  # identity: one path per slot
+
+    state = _PathState(
+        origin=flat[:, 0:3],
+        direction=flat[:, 3:6],
+        inv_direction=flat[:, 6:9],
+        throughput=jnp.ones((N, 3), jnp.float32),
+        radiance=jnp.zeros((N, 3), jnp.float32),
+        pixel=pixel,
+        active=jnp.ones((N,), bool),
+    )
+
+    for bounce in range(bounces):
+        if compaction and bounce > 0:
+            state = _compact(state)
+        kh = tracer(state.origin, state.direction, state.inv_direction)
+        hit = (kh.tri >= 0) & state.active
+        missed = (~(kh.tri >= 0)) & state.active
+
+        # Environment on miss (terminates the path).
+        env_rad = env.radiance(state.direction)
+        radiance = state.radiance + jnp.where(
+            missed[..., None], state.throughput * env_rad, 0.0
+        )
+
+        # BSDF sampling at hits.
+        bkey = jax.random.fold_in(key, bounce + 1)
+        new_dir, atten, emitted, terminate = scatter(
+            materials, bkey, state.direction, kh.normal, kh.material
+        )
+        radiance = radiance + jnp.where(
+            hit[..., None], state.throughput * emitted, 0.0
+        )
+        throughput = jnp.where(
+            hit[..., None], state.throughput * atten, state.throughput
+        )
+
+        point = state.origin + state.direction * kh.t[..., None]
+        d_dot_n = jnp.sum(state.direction * kh.normal, axis=-1, keepdims=True)
+        nf = jnp.where(d_dot_n < 0, kh.normal, -kh.normal)
+        # Dielectric transmission crosses the surface: offset along the new
+        # direction instead of the facing normal.
+        offset_dir = jnp.where(
+            jnp.sum(new_dir * nf, axis=-1, keepdims=True) >= 0, nf, -nf
+        )
+        new_origin = point + offset_dir * _EPS
+        inv = jnp.where(new_dir == 0.0, jnp.inf, 1.0 / new_dir)
+
+        active = hit & ~terminate
+        # Russian roulette after a few bounces.
+        if bounce >= 3:
+            p_continue = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            rr = jax.random.uniform(jax.random.fold_in(bkey, 7), active.shape)
+            survived = rr < p_continue
+            throughput = jnp.where(
+                (active & survived)[..., None],
+                throughput / p_continue[..., None],
+                throughput,
+            )
+            active = active & survived
+
+        state = _PathState(
+            origin=jnp.where(hit[..., None], new_origin, state.origin),
+            direction=jnp.where(hit[..., None], new_dir, state.direction),
+            inv_direction=jnp.where(hit[..., None], inv, state.inv_direction),
+            throughput=throughput,
+            radiance=radiance,
+            pixel=state.pixel,
+            active=active,
+        )
+
+    # Paths still active after the bounce budget contribute nothing more.
+    rad = jax.ops.segment_sum(state.radiance, state.pixel, num_segments=N)
+    rad = rad.reshape(B0, P0, 3)
+    bp = P0 // samples
+    return rad.reshape(B0, samples, bp, 3).sum(axis=1)
+
+
+def render_frame_pt(
+    tracer,
+    materials: MaterialTable,
+    sampler: CameraSampler,
+    key,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    bounces: int = 6,
+    env: Environment | None = None,
+    px_block=(16, 16),
+    samples_per_packet: int = 8,
+    compaction: bool = True,
+) -> jnp.ndarray:
+    """Path-traced frame: mean RGB + alpha=1, shape ``(H, W, 4)``.
+
+    ``tracer`` comes from :func:`make_pallas_tracer` (TPU) or
+    :func:`make_xla_tracer` (portable); keep the same tracer object across
+    calls to reuse the jit cache.
+    """
+    if env is None:
+        env = Environment.sky()
+    bh, bw = px_block
+    hc, wc = -(-height // bh), -(-width // bw)
+    acc = None
+    done = 0
+    chunk = 0
+    while done < spp:
+        n = min(samples_per_packet, spp - done)
+        part = _pt_chunk(
+            materials,
+            env,
+            sampler,
+            jax.random.fold_in(key, 1000 + chunk),
+            tracer=tracer,
+            width=width,
+            height=height,
+            px_block=px_block,
+            samples=n,
+            bounces=bounces,
+            compaction=compaction,
+        )
+        acc = part if acc is None else acc + part
+        done += n
+        chunk += 1
+    rgb = unpack_frame(
+        jnp.concatenate([acc, jnp.zeros_like(acc[..., :1])], -1),
+        width,
+        height,
+        (hc, wc),
+        px_block,
+    )[..., :3]
+    rgb = rgb / spp
+    alpha = jnp.ones_like(rgb[..., :1])
+    return jnp.concatenate([rgb, alpha], axis=-1)

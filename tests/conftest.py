@@ -8,6 +8,14 @@ import os
 
 # Hard override: the session environment presets JAX_PLATFORMS=axon (TPU).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent compile cache: XLA CPU compiles of the traversal loops cost
+# tens of seconds each; cache them across test runs.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -25,9 +25,10 @@ from minipath_tpu.scene.procedural import (
 def _check_against_brute(mesh, rays, stack_size=64):
     bvh = build_bvh(mesh).as_device()
     scene = prepare_scene(bvh)
-    got_t, got_tri, _got_dot = trace_packets_pallas(
+    kh = trace_packets_pallas(
         scene, rays_to_rays9(rays), stack_size=stack_size, interpret=True
     )
+    got_t, got_tri = kh.t, kh.tri
     want = trace_brute_force(bvh.tri_packets, rays)
     got_t, got_tri = np.asarray(got_t), np.asarray(got_tri)
     want_t, want_tri = np.asarray(want.t), np.asarray(want.tri)
@@ -64,9 +65,10 @@ def test_pallas_matches_xla_traversal(rng):
     origin = rng.uniform(-12, 12, (3, 128, 3)).astype(np.float32)
     direction = rng.normal(size=(3, 128, 3)).astype(np.float32)
     rays = make_rays(origin, direction)
-    p_t, p_tri, _ = trace_packets_pallas(
+    kh = trace_packets_pallas(
         scene, rays_to_rays9(rays), stack_size=64, interpret=True
     )
+    p_t, p_tri = kh.t, kh.tri
     x = trace_packets(bvh, rays, stack_size=64)
     hits = np.asarray(x.tri) >= 0
     assert ((np.asarray(p_tri) >= 0) == hits).all()
@@ -102,10 +104,10 @@ def test_pallas_empty_root():
     rays = make_rays(
         np.zeros((1, 128, 3), np.float32), np.ones((1, 128, 3), np.float32)
     )
-    t, tri, _ = trace_packets_pallas(
+    kh = trace_packets_pallas(
         scene, rays_to_rays9(rays), stack_size=8, interpret=True
     )
-    assert (np.asarray(tri) == -1).all()
+    assert (np.asarray(kh.tri) == -1).all()
 
 
 def test_pallas_in_kernel_shading_matches_finalize(rng):
@@ -121,12 +123,14 @@ def test_pallas_in_kernel_shading_matches_finalize(rng):
             size=(1, 128, 3)
         ).astype(np.float32)
         rays = make_rays(origin, direction)
-        t, tri, dot = trace_packets_pallas(
+        kh = trace_packets_pallas(
             scene, rays_to_rays9(rays), stack_size=48, interpret=True
         )
+        dot = np.abs(np.sum(np.asarray(rays.direction) * np.asarray(kh.normal), axis=-1))
+        tri = kh.tri
         from minipath_tpu.render.traversal import intersect_bvh
 
         hits = intersect_bvh(bvh, rays, stack_size=48)
         want = shade_normal_dot(rays, hits)[..., 0]
-        got = np.asarray(dot) * (np.asarray(tri) >= 0)
+        got = dot * (np.asarray(tri) >= 0)
         np.testing.assert_allclose(got, np.asarray(want), atol=2e-5)

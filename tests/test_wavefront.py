@@ -1,0 +1,180 @@
+"""Path-tracer tests: analytic zero-variance setups give exact expectations.
+
+Uses interpret-mode Pallas on CPU, tiny frames.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from minipath_tpu.camera import Camera
+from minipath_tpu.render.wavefront import make_xla_tracer, render_frame_pt, scatter
+from minipath_tpu.scene.materials import (
+    Environment,
+    dielectric,
+    emissive,
+    lambertian,
+    material_table,
+    metal,
+)
+from minipath_tpu.scene.obj_loader import MeshData
+from minipath_tpu.scene.procedural import make_quad
+from minipath_tpu.scene.triangle_bvh import TriangleBvh
+
+
+def _floor_scene(mat):
+    """A big quad at y=0 with normal +y (flat shaded)."""
+    mesh = make_quad(100.0)
+    # quad is in z-plane; rotate to be the y=0 floor.
+    pos = mesh.positions.copy()
+    mesh.positions = np.stack([pos[:, 0], pos[:, 2], pos[:, 1]], axis=-1)
+    obj = TriangleBvh.build(mesh, materials=np.zeros(mesh.triangle_count, np.int32))
+    return obj, material_table([mat])
+
+
+def _down_camera():
+    # Looking straight down at the floor from above.
+    return Camera().look_direction((0, 5, 0), (0, -1, 0), (0, 0, 1))
+
+
+def _tracer(obj):
+    if not hasattr(obj, "_test_tracer"):
+        obj._test_tracer = make_xla_tracer(
+            obj.arrays, stack_size=obj.recommended_stack_size, packet_size=256
+        )
+    return obj._test_tracer
+
+
+def _render(obj, table, camera, env, spp=4, bounces=4, w=16, h=16):
+    sampler = camera.build_sampler((w, h))
+    img = render_frame_pt(
+        _tracer(obj),
+        table,
+        sampler,
+        jax.random.key(0),
+        width=w,
+        height=h,
+        spp=spp,
+        bounces=bounces,
+        env=env,
+        px_block=(16, 16),
+        samples_per_packet=spp,
+    )
+    return np.asarray(img)
+
+
+class TestAnalytic:
+    def test_all_miss_is_env(self):
+        obj = TriangleBvh.build(MeshData())
+        table = material_table([lambertian((0.5, 0.5, 0.5))])
+        env = Environment.uniform((0.3, 0.6, 0.9))
+        cam = Camera().look_direction((0, 0, 0), (0, 1, 0), (0, 0, 1))
+        img = _render(obj, table, cam, env, spp=2, bounces=2)
+        np.testing.assert_allclose(img[..., :3], np.broadcast_to([0.3, 0.6, 0.9], img[..., :3].shape), atol=1e-5)
+
+    def test_emissive_surface_exact(self):
+        obj, table = _floor_scene(emissive((2.0, 1.0, 0.5)))
+        env = Environment.none()
+        img = _render(obj, table, _down_camera(), env, spp=2, bounces=3)
+        np.testing.assert_allclose(img[..., :3], np.broadcast_to([2.0, 1.0, 0.5], img[..., :3].shape), atol=1e-5)
+
+    def test_lambertian_under_uniform_env_zero_variance(self):
+        # Cosine-sampled Lambertian under a uniform environment: every path
+        # contributes exactly albedo * env -> zero-variance estimator.
+        albedo = (0.8, 0.6, 0.4)
+        envc = (1.0, 1.0, 1.0)
+        obj, table = _floor_scene(lambertian(albedo))
+        img = _render(obj, table, _down_camera(), Environment.uniform(envc), spp=2, bounces=3)
+        np.testing.assert_allclose(img[..., :3], np.broadcast_to(albedo, img[..., :3].shape), atol=1e-4)
+
+    def test_mirror_reflects_zenith(self):
+        obj, table = _floor_scene(metal((1.0, 1.0, 1.0), fuzz=0.0))
+        env = Environment(
+            horizon=jnp.asarray([1.0, 0.0, 0.0]), zenith=jnp.asarray([0.0, 0.0, 1.0])
+        )
+        img = _render(obj, table, _down_camera(), env, spp=2, bounces=3)
+        # Down ray reflects straight up -> env(+y) = zenith.
+        center = img[8, 8, :3]
+        np.testing.assert_allclose(center, [0.0, 0.0, 1.0], atol=2e-2)
+
+    def test_glass_pane_mostly_transmits(self):
+        obj, table = _floor_scene(dielectric(1.5))
+        env = Environment(
+            horizon=jnp.asarray([1.0, 1.0, 1.0]), zenith=jnp.asarray([0.0, 0.0, 0.0])
+        )
+        # Looking straight down through glass: transmitted rays continue to
+        # the horizon-down env value env(-y) = horizon... with Schlick ~4%
+        # reflectance sending rays to zenith (0).
+        img = _render(obj, table, _down_camera(), env, spp=16, bounces=4)
+        mean = img[..., :3].mean(axis=(0, 1))
+        assert 0.85 < mean[0] <= 1.0
+
+    def test_compaction_matches_megakernel_mean(self):
+        obj, table = _floor_scene(lambertian((0.5, 0.5, 0.5)))
+        env = Environment.sky()
+        cam = _down_camera()
+        sampler = cam.build_sampler((16, 16))
+        kw = dict(
+            width=16, height=16, spp=8, bounces=4, env=env,
+            px_block=(16, 16), samples_per_packet=8,
+        )
+        tr = _tracer(obj)
+        a = np.asarray(
+            render_frame_pt(tr, table, sampler, jax.random.key(1), compaction=True, **kw)
+        )
+        b = np.asarray(
+            render_frame_pt(tr, table, sampler, jax.random.key(2), compaction=False, **kw)
+        )
+        np.testing.assert_allclose(
+            a[..., :3].mean(), b[..., :3].mean(), rtol=0.05
+        )
+
+
+class TestScatter:
+    def test_lambertian_hemisphere(self, rng):
+        table = material_table([lambertian((0.7, 0.7, 0.7))])
+        n = 512
+        d = jnp.tile(jnp.asarray([0.0, -1.0, 0.0]), (n, 1))
+        nrm = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (n, 1))
+        mid = jnp.zeros(n, jnp.int32)
+        nd, att, emit, term = scatter(table, jax.random.key(0), d, nrm, mid)
+        nd = np.asarray(nd)
+        assert (nd[:, 1] > 0).all()  # scattered into the upper hemisphere
+        np.testing.assert_allclose(np.linalg.norm(nd, axis=1), 1.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(att), np.full_like(np.asarray(att), 0.7), atol=1e-6)
+        assert not np.asarray(term).any()
+        assert (np.asarray(emit) == 0).all()
+
+    def test_metal_mirror_exact(self):
+        table = material_table([metal((0.9, 0.9, 0.9), fuzz=0.0)])
+        d = jnp.asarray([[0.7071, -0.7071, 0.0]])
+        nrm = jnp.asarray([[0.0, 1.0, 0.0]])
+        nd, _, _, term = scatter(table, jax.random.key(0), d, nrm, jnp.zeros(1, jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(nd)[0], [0.7071, 0.7071, 0.0], atol=1e-4
+        )
+        assert not bool(np.asarray(term)[0])
+
+    def test_emissive_terminates(self):
+        table = material_table([emissive((3.0, 2.0, 1.0))])
+        d = jnp.asarray([[0.0, -1.0, 0.0]])
+        nrm = jnp.asarray([[0.0, 1.0, 0.0]])
+        _, att, emit, term = scatter(table, jax.random.key(0), d, nrm, jnp.zeros(1, jnp.int32))
+        assert bool(np.asarray(term)[0])
+        np.testing.assert_allclose(np.asarray(emit)[0], [3.0, 2.0, 1.0])
+        np.testing.assert_allclose(np.asarray(att)[0], np.zeros(3))
+
+    def test_dielectric_straight_through(self):
+        table = material_table([dielectric(1.5)])
+        # Normal incidence: mostly refracts straight through.
+        d = jnp.tile(jnp.asarray([0.0, -1.0, 0.0]), (256, 1))
+        nrm = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (256, 1))
+        nd, att, _, term = scatter(table, jax.random.key(3), d, nrm, jnp.zeros(256, jnp.int32))
+        nd = np.asarray(nd)
+        through = (nd[:, 1] < -0.999).mean()
+        reflected = (nd[:, 1] > 0.999).mean()
+        assert through > 0.9  # Schlick at normal incidence ~4%
+        assert abs(through + reflected - 1.0) < 1e-6
+        np.testing.assert_allclose(np.asarray(att), np.ones_like(np.asarray(att)))
+        assert not np.asarray(term).any()
