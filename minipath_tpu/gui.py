@@ -1,0 +1,227 @@
+"""Interactive progressive viewer.
+
+Counterpart of the reference's egui front-end (``/root/reference/src/gui.rs``):
+a preview render (1 spp) auto-escalates to a full render (2 spp) on
+completion (``gui.rs:171-173,216-224``), finished tiles stream into the
+displayed image, in-progress tiles get a red border, a checkerboard shows
+through transparent pixels (``gui.rs:244-282``), and arrow keys translate the
+camera — aborting the current render and restarting the preview
+(``gui.rs:181-198``).
+
+Architecture: all behavior lives in the headless :class:`GuiController`
+state machine (unit-testable without a display); :func:`main` wraps it in a
+thin Tk shell. The reference couples this logic to eframe callbacks; here the
+controller polls a thread-safe tile queue, the TPU renders, and the UI thread
+just blits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import queue
+import sys
+import threading
+
+import numpy as np
+
+from minipath_tpu.camera import Camera
+from minipath_tpu.render import RenderSettings, render
+from minipath_tpu.scene import Scene
+from minipath_tpu.utils.image import checkerboard_under
+
+
+class GuiController:
+    """Headless progressive-render state machine."""
+
+    PREVIEW_SPP = 1
+    FULL_SPP = 2  # gui.rs:216-224
+
+    def __init__(self, scene: Scene, camera: Camera, resolution, tile_size=64, full_spp=None):
+        self.scene = scene
+        self.camera = camera
+        self.resolution = tuple(resolution)
+        self.tile_size = tile_size
+        self.full_spp = full_spp or self.FULL_SPP
+        w, h = self.resolution
+        self.image = np.zeros((h, w, 4), np.uint8)
+        self.pending = queue.Queue()  # (tile, finished: bool)
+        self.in_progress_tiles: list = []
+        self.progress = None
+        self.mode = None  # "preview" | "full"
+        self._lock = threading.Lock()
+
+    # -- render control (gui.rs:74-135) -----------------------------------------
+
+    def start(self):
+        self._start_render("preview", self.PREVIEW_SPP)
+
+    def _start_render(self, mode, spp):
+        self.cancel_previous_render()
+        self.mode = mode
+        settings = RenderSettings(
+            tile_size=self.tile_size, sample_count=spp, resolution=self.resolution
+        )
+        self.progress = render(
+            self.scene,
+            self.camera,
+            settings,
+            started_tile_callback=lambda t: self.pending.put((t, False)),
+            finished_tile_callback=lambda t, s: self.pending.put((t, True)),
+        )
+
+    def cancel_previous_render(self):
+        if self.progress is not None:
+            self.progress.abort()
+            self.progress.wait()
+            self.progress = None
+        # Drain stale callbacks.
+        while not self.pending.empty():
+            try:
+                self.pending.get_nowait()
+            except queue.Empty:
+                break
+
+    # -- per-frame update (gui.rs:152-198) -----------------------------------------
+
+    def update(self) -> bool:
+        """Drain pending tiles into the image; escalate preview -> full.
+        Returns True if the display should repaint."""
+        dirty = False
+        while True:
+            try:
+                tile, finished = self.pending.get_nowait()
+            except queue.Empty:
+                break
+            dirty = True
+            if finished:
+                self.in_progress_tiles = [
+                    t for t in self.in_progress_tiles if not np.array_equal(t.min, tile.min)
+                ]
+                full = self.progress.image()
+                x0, y0 = int(tile.min[0]), int(tile.min[1])
+                x1, y1 = int(tile.max[0]), int(tile.max[1])
+                with self._lock:
+                    self.image[y0:y1, x0:x1] = full[y0:y1, x0:x1]
+            else:
+                self.in_progress_tiles.append(tile)
+
+        if (
+            self.mode == "preview"
+            and self.progress is not None
+            and self.progress.is_finished()
+            and self.progress.progress().finished == self.progress.progress().total
+        ):
+            self._start_render("full", self.full_spp)
+            dirty = True
+        return dirty
+
+    def move_camera(self, dx: float, dy: float, dz: float):
+        """Translate the camera in its own frame and restart the preview
+        (``gui.rs:181-198``)."""
+        m = np.eye(4)
+        m[:3, 3] = [dx, dy, dz]
+        self.camera = self.camera.transformed(m)
+        self._start_render("preview", self.PREVIEW_SPP)
+
+    def display_image(self) -> np.ndarray:
+        """Composite: checkerboard under alpha + red borders on in-progress
+        tiles (``gui.rs:244-282``)."""
+        with self._lock:
+            img = checkerboard_under(self.image)
+        for tile in list(self.in_progress_tiles):
+            x0, y0 = int(tile.min[0]), int(tile.min[1])
+            x1, y1 = int(tile.max[0]), int(tile.max[1])
+            b = 4
+            img[y0 : y0 + b, x0:x1, :3] = (255, 0, 0)
+            img[max(y1 - b, 0) : y1, x0:x1, :3] = (255, 0, 0)
+            img[y0:y1, x0 : x0 + b, :3] = (255, 0, 0)
+            img[y0:y1, max(x1 - b, 0) : x1, :3] = (255, 0, 0)
+        return img
+
+    def shutdown(self):
+        self.cancel_previous_render()
+
+
+def run_tk(controller: GuiController, fps: int = 30):
+    """Run the Tk event loop around a controller (requires a display)."""
+    import tkinter as tk
+
+    from PIL import Image, ImageTk
+
+    w, h = controller.resolution
+    root = tk.Tk()
+    root.title("minipath-tpu")
+    label = tk.Label(root)
+    label.pack()
+
+    step = 0.5
+
+    def on_key(event):
+        moves = {
+            "Left": (-step, 0, 0),
+            "Right": (step, 0, 0),
+            "Up": (0, 0, -step),
+            "Down": (0, 0, step),
+            "Prior": (0, step, 0),
+            "Next": (0, -step, 0),
+        }
+        if event.keysym in moves:
+            controller.move_camera(*moves[event.keysym])
+        elif event.keysym == "Escape":
+            root.destroy()
+
+    root.bind("<Key>", on_key)
+
+    photo_ref = {}
+
+    def tick():
+        controller.update()
+        img = controller.display_image()
+        photo = ImageTk.PhotoImage(Image.fromarray(img))
+        photo_ref["p"] = photo  # keep alive
+        label.configure(image=photo)
+        root.after(1000 // fps, tick)
+
+    controller.start()
+    tick()
+    try:
+        root.mainloop()
+    finally:
+        controller.shutdown()
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="minipath-tpu-gui")
+    p.add_argument("--obj", default=None)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=768)
+    p.add_argument("--tile-size", type=int, default=64)
+    p.add_argument("--full-spp", type=int, default=2)
+    args = p.parse_args(argv)
+
+    from minipath_tpu.cli import load_scene
+
+    class _SceneArgs:
+        obj = args.obj
+        scene = "obj"
+
+    bvh = load_scene(_SceneArgs)
+    camera = (
+        Camera()
+        .look_at((0.0, 2.0, 10.0), (0.0, 1.5, 0.0))
+        .f_number(4.8)
+        .focus_distance(10.0)
+    )
+    controller = GuiController(
+        Scene(bvh),
+        camera,
+        (args.width, args.height),
+        tile_size=args.tile_size,
+        full_spp=args.full_spp,
+    )
+    run_tk(controller)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
