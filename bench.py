@@ -54,8 +54,15 @@ def build_scene():
     mesh = make_atrium(250_000)
     log(f"  mesh: {mesh.triangle_count} tris in {time.time()-t0:.1f}s")
     t0 = time.time()
-    result = build_bvh(mesh)
-    log(f"  bvh: depth={result.max_depth} in {time.time()-t0:.1f}s")
+    from minipath_tpu.scene.bvh import native
+
+    if native.is_available():
+        result = native.build_bvh_native(mesh)
+        kind = "native"
+    else:
+        result = build_bvh(mesh)
+        kind = "python"
+    log(f"  bvh ({kind}): depth={result.max_depth} in {time.time()-t0:.1f}s")
     np.savez_compressed(
         path,
         **result.arrays._asdict(),

@@ -29,12 +29,31 @@ class TriangleBvh:
     # -- constructors -----------------------------------------------------------
 
     @classmethod
-    def with_obj(cls, path) -> "TriangleBvh":
-        """Load an OBJ file and build the BVH (``building.rs:28``)."""
-        return cls.build(load_obj(path))
+    def with_obj(cls, path, use_native: bool | None = None) -> "TriangleBvh":
+        """Load an OBJ file and build the BVH (``building.rs:28``).
+
+        Uses the native C++ loader/builder when available (large scenes
+        build orders of magnitude faster); ``use_native=False`` forces the
+        pure-Python path.
+        """
+        from minipath_tpu.scene.bvh import native
+
+        if use_native is None:
+            use_native = native.is_available()
+        if use_native and native.is_available():
+            mesh = native.load_obj_native(path)
+        else:
+            mesh = load_obj(path)
+        return cls.build(mesh, use_native=use_native)
 
     @classmethod
-    def build(cls, mesh: MeshData, materials=None) -> "TriangleBvh":
+    def build(cls, mesh: MeshData, materials=None, use_native: bool | None = None) -> "TriangleBvh":
+        from minipath_tpu.scene.bvh import native
+
+        if use_native is None:
+            use_native = False  # Python builder is the default reference
+        if use_native and native.is_available():
+            return cls(native.build_bvh_native(mesh, materials=materials))
         return cls(build_bvh(mesh, materials=materials))
 
     # -- data access ------------------------------------------------------------
