@@ -30,6 +30,7 @@ from minipath_tpu.scene.primitives import Sphere
 from minipath_tpu.scene.triangle_bvh import TriangleBvh
 from minipath_tpu.screen_block import ScreenBlock
 from minipath_tpu.utils.image import color_to_image
+from minipath_tpu.utils.profiling import PhaseTimers
 
 # Pixel-block shape of one traversal packet (coherent rays). 16x16 = 256 rays.
 PACKET_SHAPE = (16, 16)
@@ -66,6 +67,7 @@ class _RenderState:
         self.abort_flag = threading.Event()
         self.start_time = time.monotonic()
         self.end_time: float | None = None
+        self.timers = PhaseTimers()
 
 
 class RenderProgress:
@@ -99,6 +101,10 @@ class RenderProgress:
         """Snapshot of the (possibly partial) RGBA uint8 image."""
         with self._state.image_lock:
             return self._state.image.copy()
+
+    def timings(self) -> PhaseTimers:
+        """Per-phase wall-clock accumulators (dispatch / fetch)."""
+        return self._state.timers
 
 
 def _round_up(x: int, m: int) -> int:
@@ -206,7 +212,14 @@ def render(
     sampler = camera.build_sampler(settings.resolution)
     base_key = jax.random.key(seed)
 
-    tiles_per_dispatch = max(1, min(32, len(tiles)))
+    tiles_per_dispatch = max(1, min(64, len(tiles)))
+
+    @jax.jit
+    def finalize_u8(acc):
+        # Mean + u8 conversion on device: fetching u8 quarters the
+        # device->host bytes (the tunnel roundtrip dominates small batches).
+        mean = acc / spp_effective
+        return jnp.clip(jnp.round(mean * 255.0), 0.0, 255.0).astype(jnp.uint8)
 
     def compute_batch(batch_start):
         batch = tiles[batch_start : batch_start + tiles_per_dispatch]
@@ -218,24 +231,25 @@ def render(
             origins = np.concatenate([origins, np.tile(origins[-1:], (pad, 1))])
             indices = np.concatenate([indices, np.full(pad, indices[-1], np.int32)])
         acc = None
-        for p in range(n_passes):
-            part = tile_batch(
-                jnp.asarray(origins),
-                jnp.asarray(indices),
-                jax.random.fold_in(base_key, p),
-                spp_pass,
-            )
-            acc = part if acc is None else acc + part
-        return batch, acc  # device array (K, th, tw, 4); fetch later
+        with state.timers.phase("dispatch"):
+            for p in range(n_passes):
+                part = tile_batch(
+                    jnp.asarray(origins),
+                    jnp.asarray(indices),
+                    jax.random.fold_in(base_key, p),
+                    spp_pass,
+                )
+                acc = part if acc is None else acc + part
+        return batch, finalize_u8(acc)  # device u8 (K, th, tw, 4); fetch later
 
-    def write_batch(batch, acc):
-        means = np.asarray(acc) / spp_effective  # single fetch per batch
-        for tile, mean in zip(batch, means):
+    def write_batch(batch, acc_u8):
+        with state.timers.phase("fetch"):
+            tiles_u8 = np.asarray(acc_u8)  # single u8 fetch per batch
+        for tile, tile_img in zip(batch, tiles_u8):
             x0, y0 = int(tile.min[0]), int(tile.min[1])
             x1, y1 = int(tile.max[0]), int(tile.max[1])
-            tile_u8 = color_to_image(mean[: y1 - y0, : x1 - x0])
             with state.image_lock:
-                state.image[y0:y1, x0:x1] = tile_u8
+                state.image[y0:y1, x0:x1] = tile_img[: y1 - y0, : x1 - x0]
             state.finished_count += 1
             if finished_tile_callback is not None:
                 finished_tile_callback(

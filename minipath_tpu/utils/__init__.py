@@ -1,6 +1,23 @@
-"""Shared utilities: streaming stats, image conversion, timers."""
+"""Shared utilities: streaming stats, image conversion, profiling, bit ops."""
 
 from minipath_tpu.utils.stats import Stats
 from minipath_tpu.utils.image import color_to_image, save_png
+from minipath_tpu.utils.profiling import PhaseTimers
 
-__all__ = ["Stats", "color_to_image", "save_png"]
+
+def bit_iter(mask: int):
+    """Iterate indices of set bits, lowest first.
+
+    Host-side parity with the reference's movemask scanning helper
+    (``/root/reference/src/util/mod.rs:6-31``); device code uses dense masks
+    instead, but build/debug tooling still wants this.
+    """
+    mask = int(mask)
+    assert mask >= 0
+    while mask:
+        low = mask & -mask
+        yield low.bit_length() - 1
+        mask ^= low
+
+
+__all__ = ["PhaseTimers", "Stats", "bit_iter", "color_to_image", "save_png"]

@@ -2,9 +2,17 @@
 
 Sharding tests exercise a virtual 8-device mesh the way the driver's
 multi-chip dry-run does; compute tests don't need the real TPU.
+
+Note: the session environment ships an axon (remote TPU) sitecustomize on
+PYTHONPATH that imports jax at interpreter start — BEFORE this conftest —
+which freezes the device configuration and makes
+``xla_force_host_platform_device_count`` a no-op. Multi-device tests
+(test_parallel.py) therefore run their bodies in clean subprocesses with the
+axon site stripped; see ``tests/parallel_impl.py``.
 """
 
 import os
+import sys
 
 # Hard override: the session environment presets JAX_PLATFORMS=axon (TPU).
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -16,11 +24,6 @@ os.environ.setdefault(
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import numpy as np
 import pytest
