@@ -84,9 +84,11 @@ def _surface_area(bmin: np.ndarray, bmax: np.ndarray) -> np.ndarray:
 
 
 class _Builder:
-    def __init__(self, mesh: MeshData, materials: np.ndarray):
+    def __init__(self, mesh: MeshData, materials: np.ndarray, leaf_max: int = L.LEAF_NODE_MAX_TRIANGLES):
         self.mesh = mesh
         self.materials = materials
+        assert 1 <= leaf_max <= L.LEAF_NODE_MAX_TRIANGLES
+        self.leaf_max = leaf_max
         tv = mesh.positions[mesh.triangles].astype(np.float32)  # (T,3,3)
         self.tri_verts = tv
         self.tri_min = tv.min(axis=1)
@@ -110,7 +112,7 @@ class _Builder:
 
     def build_leaf(self, idx: np.ndarray, depth: int) -> int:
         n = len(idx)
-        assert 1 <= n <= L.LEAF_NODE_MAX_TRIANGLES
+        assert 1 <= n <= self.leaf_max
         packet_count = -(-n // L.LEAF_NODE_PACKET_SIZE)
         first = len(self.packet_tris)
 
@@ -203,7 +205,7 @@ class _Builder:
                 bmin = self.tri_min[g].min(axis=0)
                 bmax = self.tri_max[g].max(axis=0)
                 pri = _surface_area(bmin, bmax) * len(g)
-                if len(g) > L.LEAF_NODE_MAX_TRIANGLES:
+                if len(g) > self.leaf_max:
                     pri += np.inf
                 if pri > cand_priority:
                     cand, cand_priority = gi, pri
@@ -227,7 +229,7 @@ class _Builder:
     # -- nodes ---------------------------------------------------------------
 
     def build_recursive(self, idx: np.ndarray, depth: int) -> int:
-        if len(idx) <= L.LEAF_NODE_MAX_TRIANGLES:
+        if len(idx) <= self.leaf_max:
             return self.build_leaf(idx, depth)
 
         groups = self._split8(idx)
@@ -246,9 +248,14 @@ class _Builder:
         return L.new_inner(node_id)
 
 
-def build_bvh(mesh: MeshData, materials: np.ndarray | None = None) -> BuildResult:
+def build_bvh(
+    mesh: MeshData,
+    materials: np.ndarray | None = None,
+    leaf_max: int = L.LEAF_NODE_MAX_TRIANGLES,
+) -> BuildResult:
     """Build the BVH over a mesh. ``materials`` is optional per-triangle
-    int32 material ids (defaults to 0, matching ``building.rs:201``)."""
+    int32 material ids (defaults to 0, matching ``building.rs:201``);
+    ``leaf_max`` tunes the leaf size (<= 56)."""
     T = mesh.triangle_count
     if materials is None:
         materials = np.zeros(T, np.int32)
@@ -257,7 +264,7 @@ def build_bvh(mesh: MeshData, materials: np.ndarray | None = None) -> BuildResul
 
     import sys
 
-    builder = _Builder(mesh, materials)
+    builder = _Builder(mesh, materials, leaf_max=leaf_max)
     if T:
         used = mesh.positions[np.unique(mesh.triangles)]
         bbox_min = used.min(axis=0).astype(np.float32)

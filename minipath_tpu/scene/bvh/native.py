@@ -91,6 +91,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
+            ctypes.c_int32,
             ctypes.POINTER(_MpBvh),
         ]
         lib.mp_free_bvh.argtypes = [ctypes.POINTER(_MpBvh)]
@@ -136,7 +137,7 @@ def load_obj_native(path):
     return out
 
 
-def build_bvh_native(mesh, materials=None):
+def build_bvh_native(mesh, materials=None, leaf_max: int = 56):
     """Native BVH build; returns a BuildResult interchangeable with the
     Python builder's output (same layout spec)."""
     from minipath_tpu.scene.bvh.build import BuildResult, BvhArrays
@@ -168,6 +169,7 @@ def build_bvh_native(mesh, materials=None):
         iptr(tris),
         iptr(mats),
         T,
+        leaf_max,
         ctypes.byref(out),
     )
     assert rc == 0
@@ -223,8 +225,10 @@ def build_bvh_native(mesh, materials=None):
                 else np.zeros((1, 3), np.float32)
             ),
             root=np.int32(out.root),
-            bbox_min=np.asarray(out.bbox_min, np.float32),
-            bbox_max=np.asarray(out.bbox_max, np.float32),
+            # np.array with copy: np.asarray would VIEW the ctypes struct,
+            # which mp_free_bvh zeroes in the finally block below.
+            bbox_min=np.array(out.bbox_min, np.float32, copy=True),
+            bbox_max=np.array(out.bbox_max, np.float32, copy=True),
         )
         return BuildResult(
             arrays=arrays,

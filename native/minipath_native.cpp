@@ -25,7 +25,7 @@ namespace {
 
 constexpr int kChildren = 8;
 constexpr int kPacket = 8;
-constexpr int kLeafMax = 56;  // 7 packets * 8
+constexpr int kLeafMaxLimit = 56;  // 7 packets * 8 (format limit)
 constexpr int32_t kNull = -8;
 constexpr int kBins = 16;
 
@@ -52,6 +52,7 @@ struct Builder {
   const int32_t* tris;      // T*3
   const int32_t* materials; // T (may be null)
   int64_t n_tris = 0;
+  int leaf_max = kLeafMaxLimit;
 
   std::vector<V3> tmin, tmax, cent;
 
@@ -186,7 +187,7 @@ struct Builder {
         V3 lo, hi;
         group_bounds(idx + groups[g].off, groups[g].len, &lo, &hi);
         float pri = surface_area(lo, hi) * (float)groups[g].len;
-        if (groups[g].len > kLeafMax) pri = INFINITY;
+        if (groups[g].len > leaf_max) pri = INFINITY;
         if (pri > cand_pri) {
           cand_pri = pri;
           cand = g;
@@ -261,7 +262,7 @@ struct Builder {
   }
 
   int32_t build_recursive(int32_t* idx, int64_t n, int depth) {
-    if (n <= kLeafMax) return build_leaf(idx, n, depth);
+    if (n <= leaf_max) return build_leaf(idx, n, depth);
     int64_t sizes[kChildren];
     int ng = split8(idx, n, sizes);
     int64_t node_id = (int64_t)node_links.size() / kChildren;
@@ -318,7 +319,7 @@ static int32_t* copy_i(const std::vector<int32_t>& v) {
 
 int mp_build_bvh(const float* positions, const float* normals, int64_t n_verts,
                  const int32_t* tris, const int32_t* materials, int64_t n_tris,
-                 MpBvh* out) {
+                 int32_t leaf_max, MpBvh* out) {
   (void)n_verts;
   std::memset(out, 0, sizeof(MpBvh));
   Builder b;
@@ -327,6 +328,7 @@ int mp_build_bvh(const float* positions, const float* normals, int64_t n_verts,
   b.tris = tris;
   b.materials = materials;
   b.n_tris = n_tris;
+  if (leaf_max >= 1 && leaf_max <= kLeafMaxLimit) b.leaf_max = leaf_max;
 
   if (n_tris == 0) {
     out->root = kNull;
