@@ -41,6 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--focus", type=float, default=10.0, help="focus distance (meters); default focuses at --camera-to distance")
     p.add_argument("--no-stats", action="store_true", help="skip BVH statistics printout")
     p.add_argument("--quiet", "-q", action="store_true")
+    p.add_argument(
+        "--integrator",
+        choices=["normal", "pt"],
+        default="normal",
+        help="'normal' = reference-parity |d.n| shading; 'pt' = path tracing "
+        "with a sky environment (OBJ scenes get a default gray material)",
+    )
+    p.add_argument("--bounces", type=int, default=6, help="path-tracer bounce budget")
+    p.add_argument("--no-compaction", action="store_true", help="path tracer: disable wavefront stream compaction (megakernel mode)")
     return p
 
 
@@ -89,6 +98,9 @@ def main(argv=None) -> int:
         resolution=(args.width, args.height),
     )
 
+    if args.integrator == "pt":
+        return _render_pt(args, bvh, camera)
+
     def on_tile(_tile, snapshot):
         if not args.quiet:
             print("\r" + _progress_bar(snapshot.finished, snapshot.total), end="", file=sys.stderr)
@@ -112,6 +124,63 @@ def main(argv=None) -> int:
         file=sys.stderr,
     )
     save_png(args.output, progress.image())
+    print(f"saved {args.output}", file=sys.stderr)
+    return 0
+
+
+def _render_pt(args, bvh, camera) -> int:
+    """Path-traced whole-frame render (sky environment, gamma 2.2)."""
+    import numpy as np
+    import jax
+
+    from minipath_tpu.render.wavefront import (
+        make_pallas_tracer,
+        make_xla_tracer,
+        render_frame_pt,
+    )
+    from minipath_tpu.scene.materials import (
+        Environment,
+        lambertian,
+        material_table,
+    )
+    from minipath_tpu.utils.image import color_to_image, save_png
+
+    table = material_table([lambertian((0.73, 0.73, 0.73))])
+    if jax.default_backend() == "cpu":
+        tracer = make_xla_tracer(
+            bvh.arrays, stack_size=bvh.recommended_stack_size, packet_size=256
+        )
+    else:
+        tracer = make_pallas_tracer(
+            bvh.pallas_scene,
+            stack_size=bvh.recommended_stack_size,
+            packet_size=2048,
+        )
+    t0 = time.time()
+    img = render_frame_pt(
+        tracer,
+        table,
+        camera.build_sampler((args.width, args.height)),
+        jax.random.key(args.seed),
+        width=args.width,
+        height=args.height,
+        spp=args.spp,
+        bounces=args.bounces,
+        env=Environment.sky(),
+        samples_per_packet=min(8, args.spp),
+        compaction=not args.no_compaction,
+    )
+    a = np.array(img, copy=True)
+    elapsed = time.time() - t0
+    rays = args.width * args.height * args.spp  # camera rays (bounces extra)
+    print(
+        f"path traced {args.width}x{args.height} @ {args.spp} spp, "
+        f"{args.bounces} bounces in {elapsed:.2f}s "
+        f"({rays / elapsed / 1e6:.1f} Mpaths/s)",
+        file=sys.stderr,
+    )
+    a[..., :3] = np.clip(a[..., :3], 0.0, 1.0) ** (1 / 2.2)  # display gamma
+    save_png(args.output, color_to_image(a))
     print(f"saved {args.output}", file=sys.stderr)
     return 0
 
