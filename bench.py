@@ -36,7 +36,7 @@ def build_scene():
     from minipath_tpu.scene.bvh.build import build_bvh
 
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, "atrium_250k_v3.npz")
+    path = os.path.join(CACHE, "atrium_250k_v4.npz")
     if os.path.exists(path):
         log("loading cached atrium BVH")
         data = np.load(path)
@@ -55,12 +55,15 @@ def build_scene():
     log(f"  mesh: {mesh.triangle_count} tris in {time.time()-t0:.1f}s")
     t0 = time.time()
     # leaf_max=24 traces ~11% faster than the format-limit 56 on this scene
-    # (tools/perf_leaf.py sweep). The Python builder's trees trace ~25%
-    # faster than the native builder's on this scene despite near-identical
-    # structure/SAH (open issue; see tools/perf_builders.py) — use Python
-    # here and cache the result.
-    result = build_bvh(mesh, leaf_max=24)
-    kind = "python"
+    # (tools/perf_leaf.py sweep).
+    from minipath_tpu.scene.bvh import native
+
+    if native.is_available():
+        result = native.build_bvh_native(mesh, leaf_max=24)
+        kind = "native"
+    else:
+        result = build_bvh(mesh, leaf_max=24)
+        kind = "python"
     log(f"  bvh ({kind}): depth={result.max_depth} in {time.time()-t0:.1f}s")
     np.savez_compressed(
         path,

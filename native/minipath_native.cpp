@@ -80,7 +80,15 @@ struct Builder {
       }
       tmin[t] = lo;
       tmax[t] = hi;
-      cent[t] = {(lo.x + hi.x) * 0.5f, (lo.y + hi.y) * 0.5f, (lo.z + hi.z) * 0.5f};
+      // Vertex-mean centroid (NOT box center) — matches the Python builder
+      // and the reference's Triangle::centroid; box-center binning produced
+      // measurably worse partitions for coherent camera packets.
+      V3 csum{0, 0, 0};
+      for (int k = 0; k < 3; ++k) {
+        const float* p = positions + 3 * (int64_t)tris[3 * t + k];
+        csum.x += p[0]; csum.y += p[1]; csum.z += p[2];
+      }
+      cent[t] = {csum.x / 3.f, csum.y / 3.f, csum.z / 3.f};
     }
   }
 
@@ -166,7 +174,9 @@ struct Builder {
       const float c = best_axis == 0 ? cent[t].x : best_axis == 1 ? cent[t].y : cent[t].z;
       return std::min((int)((c - lo_a) * scale), kBins - 1);
     };
-    int32_t* mid = std::partition(idx, idx + n, [&](int32_t t) { return bin_of(t) <= best_bin; });
+    // stable: keeps spatially-sorted triangle order inside groups, which
+    // sets which triangles share an 8-wide leaf packet downstream.
+    int32_t* mid = std::stable_partition(idx, idx + n, [&](int32_t t) { return bin_of(t) <= best_bin; });
     return mid - idx;
   }
 

@@ -40,6 +40,8 @@ order = sys.argv[1] if len(sys.argv) > 1 else "np"
 if order == "np":
     bench("native-24", native.build_bvh_native(mesh, leaf_max=24))
     bench("python-24", build_bvh(mesh, leaf_max=24))
+elif order == "n":
+    bench("native-24", native.build_bvh_native(mesh, leaf_max=24))
 else:
     bench("python-24", build_bvh(mesh, leaf_max=24))
     bench("native-24", native.build_bvh_native(mesh, leaf_max=24))
