@@ -147,11 +147,11 @@ def _render_pt(args, bvh, camera) -> int:
 
     table = material_table([lambertian((0.73, 0.73, 0.73))])
     if jax.default_backend() == "cpu":
-        tracer = make_xla_tracer(
+        tracer, tracer_state = make_xla_tracer(
             bvh.arrays, stack_size=bvh.recommended_stack_size, packet_size=256
         )
     else:
-        tracer = make_pallas_tracer(
+        tracer, tracer_state = make_pallas_tracer(
             bvh.pallas_scene,
             stack_size=bvh.recommended_stack_size,
             packet_size=2048,
@@ -159,6 +159,7 @@ def _render_pt(args, bvh, camera) -> int:
     t0 = time.time()
     img = render_frame_pt(
         tracer,
+        tracer_state,
         table,
         camera.build_sampler((args.width, args.height)),
         jax.random.key(args.seed),

@@ -219,68 +219,71 @@ def _traverse_kernel(
 
         def leaf_case(args):
             sp, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
-            tris = tri_ref[idx]  # (72,)
-            shade = shade_ref[idx]  # (72,)
-            mats = mat_ref[idx]  # (8,)
-            for lane in range(8):
-                o = lane * 9
-                v0x, v0y, v0z = tris[o + 0], tris[o + 1], tris[o + 2]
-                e1x, e1y, e1z = tris[o + 3], tris[o + 4], tris[o + 5]
-                e2x, e2y, e2z = tris[o + 6], tris[o + 7], tris[o + 8]
-                # Möller–Trumbore, two-sided (triangle.rs:187-216).
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = 1.0 / det
-                sx = ox - v0x
-                sy = oy - v0y
-                sz = oz - v0z
-                u = inv_det * (sx * px + sy * py + sz * pz)
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                v = inv_det * (dx * qx + dy * qy + dz * qz)
-                t = inv_det * (e2x * qx + e2y * qy + e2z * qz)
-                ok = (
-                    (u >= 0.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                    & (t >= 0.0)
-                    & (t < best_t)
-                )
-                best_tri = jnp.where(
-                    ok, idx * L.LEAF_NODE_PACKET_SIZE + lane, best_tri
-                )
-                best_t = jnp.where(ok, t, best_t)
-                # In-kernel shading data: interpolate vertex normals with
-                # the hit barycentrics and normalize
-                # (ray_bvh_intersection.rs:76-85). Flat triangles carry
-                # their geometric normal in all three slots.
-                n0x, n0y, n0z = shade[o + 0], shade[o + 1], shade[o + 2]
-                n1x, n1y, n1z = shade[o + 3], shade[o + 4], shade[o + 5]
-                n2x, n2y, n2z = shade[o + 6], shade[o + 7], shade[o + 8]
-                w = 1.0 - u - v
-                nx = n0x * w + n1x * u + n2x * v
-                ny = n0y * w + n1y * u + n2y * v
-                nz = n0z * w + n1z * u + n2z * v
-                inv_len = jax.lax.rsqrt(
-                    jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
-                )
-                bnx = jnp.where(ok, nx * inv_len, bnx)
-                bny = jnp.where(ok, ny * inv_len, bny)
-                bnz = jnp.where(ok, nz * inv_len, bnz)
-                bmat = jnp.where(ok, mats[lane], bmat)
 
+            # Process the whole leaf run (count packets of 8 triangles) in
+            # one pop: an inner fori over packets replaces the reference's
+            # continuation scheme (fewer stack operations per leaf).
+            def packet_body(j, pc):
+                best_t, best_tri, bnx, bny, bnz, bmat = pc
+                pidx = idx + j
+                tris = tri_ref[pidx]  # (72,)
+                shade = shade_ref[pidx]  # (72,)
+                mats = mat_ref[pidx]  # (8,)
+                for lane in range(8):
+                    o = lane * 9
+                    v0x, v0y, v0z = tris[o + 0], tris[o + 1], tris[o + 2]
+                    e1x, e1y, e1z = tris[o + 3], tris[o + 4], tris[o + 5]
+                    e2x, e2y, e2z = tris[o + 6], tris[o + 7], tris[o + 8]
+                    # Möller–Trumbore, two-sided (triangle.rs:187-216).
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv_det = 1.0 / det
+                    sx = ox - v0x
+                    sy = oy - v0y
+                    sz = oz - v0z
+                    u = inv_det * (sx * px + sy * py + sz * pz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = inv_det * (dx * qx + dy * qy + dz * qz)
+                    t = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = (
+                        (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (t >= 0.0)
+                        & (t < best_t)
+                    )
+                    best_tri = jnp.where(
+                        ok, pidx * L.LEAF_NODE_PACKET_SIZE + lane, best_tri
+                    )
+                    best_t = jnp.where(ok, t, best_t)
+                    # In-kernel shading data: interpolate vertex normals with
+                    # the hit barycentrics and normalize
+                    # (ray_bvh_intersection.rs:76-85). Flat triangles carry
+                    # their geometric normal in all three slots.
+                    n0x, n0y, n0z = shade[o + 0], shade[o + 1], shade[o + 2]
+                    n1x, n1y, n1z = shade[o + 3], shade[o + 4], shade[o + 5]
+                    n2x, n2y, n2z = shade[o + 6], shade[o + 7], shade[o + 8]
+                    w = 1.0 - u - v
+                    nx = n0x * w + n1x * u + n2x * v
+                    ny = n0y * w + n1y * u + n2y * v
+                    nz = n0z * w + n1z * u + n2z * v
+                    inv_len = jax.lax.rsqrt(
+                        jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
+                    )
+                    bnx = jnp.where(ok, nx * inv_len, bnx)
+                    bny = jnp.where(ok, ny * inv_len, bny)
+                    bnz = jnp.where(ok, nz * inv_len, bnz)
+                    bmat = jnp.where(ok, mats[lane], bmat)
+                return best_t, best_tri, bnx, bny, bnz, bmat
+
+            best_t, best_tri, bnx, bny, bnz, bmat = jax.lax.fori_loop(
+                0, count, packet_body, (best_t, best_tri, bnx, bny, bnz, bmat)
+            )
             max_best = jnp.max(best_t)
-            cont = count > 1
-
-            @pl.when(cont)
-            def _():
-                stack_ref[sp] = ((idx + 1) << L.COUNT_BITS) | (count - 1)
-                stack_t_ref[sp] = t_entry
-
-            sp = sp + cont.astype(jnp.int32)
             return sp, max_best, best_t, best_tri, bnx, bny, bnz, bmat
 
         def skip_case(args):
@@ -381,6 +384,12 @@ def trace_packets_pallas(
     best_t, best_tri, nx, ny, nz, mat = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            # The whole scene lives in VMEM; the default scoped budget
+            # (16 MB) rejects large scenes when this call is embedded in a
+            # bigger program (e.g. the multi-bounce path tracer).
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),

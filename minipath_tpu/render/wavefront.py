@@ -128,16 +128,21 @@ def scatter(
 
 
 def make_pallas_tracer(scene: PallasScene, *, stack_size: int, packet_size: int = 2048):
-    """Tracer over the Pallas kernel: ``tracer(o, d, inv) -> KernelHits``
-    with flat ``(N,)`` fields. N must be a multiple of ``packet_size``."""
+    """Tracer over the Pallas kernel.
 
-    def tracer(origin, direction, inv_direction):
+    Returns ``(tracer_fn, tracer_state)``: the function is closed over only
+    STATIC configuration and takes the scene as its first (pytree) argument —
+    closing over device arrays would bake the whole scene into the compiled
+    program as constants, blowing the scoped-VMEM budget and program size.
+    """
+
+    def tracer(state: PallasScene, origin, direction, inv_direction):
         N = origin.shape[0]
         B = N // packet_size
         r9 = jnp.concatenate([origin, direction, inv_direction], axis=-1)
         r9 = jnp.swapaxes(r9.reshape(B, packet_size, 9), 1, 2)
         r9 = r9.reshape(B, 9, packet_size // 128, 128)
-        kh = trace_packets_pallas(scene, r9, stack_size=stack_size)
+        kh = trace_packets_pallas(state, r9, stack_size=stack_size)
         return KernelHits(
             t=kh.t.reshape(N),
             tri=kh.tri.reshape(N),
@@ -145,15 +150,16 @@ def make_pallas_tracer(scene: PallasScene, *, stack_size: int, packet_size: int 
             material=kh.material.reshape(N),
         )
 
-    return tracer
+    return tracer, scene
 
 
 def make_xla_tracer(bvh, *, stack_size: int, packet_size: int = 256):
-    """Portable tracer over the pure-XLA packet traversal (CPU-friendly)."""
+    """Portable tracer over the pure-XLA packet traversal (CPU-friendly).
+    Returns ``(tracer_fn, tracer_state)`` like :func:`make_pallas_tracer`."""
     from minipath_tpu.geometry.ray import Rays
     from minipath_tpu.render.traversal import finalize_hits, trace_packets
 
-    def tracer(origin, direction, inv_direction):
+    def tracer(state, origin, direction, inv_direction):
         N = origin.shape[0]
         B = N // packet_size
         rays = Rays(
@@ -161,8 +167,8 @@ def make_xla_tracer(bvh, *, stack_size: int, packet_size: int = 256):
             direction=direction.reshape(B, packet_size, 3),
             inv_direction=inv_direction.reshape(B, packet_size, 3),
         )
-        res = trace_packets(bvh, rays, stack_size=stack_size)
-        hits = finalize_hits(bvh, rays, res)
+        res = trace_packets(state, rays, stack_size=stack_size)
+        hits = finalize_hits(state, rays, res)
         return KernelHits(
             t=jnp.where(res.tri >= 0, res.t, jnp.inf).reshape(N),
             tri=res.tri.reshape(N),
@@ -170,7 +176,7 @@ def make_xla_tracer(bvh, *, stack_size: int, packet_size: int = 256):
             material=hits.material.reshape(N),
         )
 
-    return tracer
+    return tracer, bvh
 
 
 class _PathState(NamedTuple):
@@ -184,18 +190,29 @@ class _PathState(NamedTuple):
 
 
 def _compact(state: _PathState) -> _PathState:
-    """Stable partition: active rays to the front (cumsum-based; cheap
-    O(N) scans instead of a sort). Keeps packets full of live rays."""
-    active_i = state.active.astype(jnp.int32)
-    n_active = jnp.sum(active_i)
-    pos_active = jnp.cumsum(active_i) - active_i
-    pos_dead = n_active + jnp.cumsum(1 - active_i) - (1 - active_i)
-    dest = jnp.where(state.active, pos_active, pos_dead)
-
-    def scat(a):
-        return jnp.zeros_like(a).at[dest].set(a)
-
-    return _PathState(*(scat(f) for f in state))
+    """Coherence-restoring compaction: sort rays by (dead?, direction
+    octant, position cell). Dead rays sink to the back (packets stay full
+    of live rays) and live rays regain the spatial/directional clustering
+    that packet traversal needs — bounced rays in an arbitrary order cost
+    the packet the UNION of every lane's traversal (measured 0.5 Mrays/s
+    fully scrambled vs ~210 coherent on the atrium; octant+cell sorting
+    recovers ~4x and real bounce distributions much more)."""
+    o = state.origin
+    lo = jnp.min(o, axis=0)
+    hi = jnp.max(o, axis=0)
+    scale = 8.0 / jnp.maximum(hi - lo, 1e-6)
+    cell = jnp.clip((o - lo) * scale, 0, 7).astype(jnp.int32)  # (N, 3)
+    cell_id = (cell[:, 0] << 6) | (cell[:, 1] << 3) | cell[:, 2]  # 0..511
+    d = state.direction
+    octant = (
+        (d[:, 0] > 0).astype(jnp.int32) * 4
+        + (d[:, 1] > 0).astype(jnp.int32) * 2
+        + (d[:, 2] > 0).astype(jnp.int32)
+    )
+    dead = (~state.active).astype(jnp.int32)
+    key = (dead << 13) | (octant << 9) | cell_id
+    order = jnp.argsort(key)
+    return _PathState(*(f[order] for f in state))
 
 
 @partial(
@@ -211,6 +228,7 @@ def _compact(state: _PathState) -> _PathState:
     ),
 )
 def _pt_chunk(
+    tracer_state,
     materials: MaterialTable,
     env: Environment,
     sampler: CameraSampler,
@@ -248,7 +266,7 @@ def _pt_chunk(
     for bounce in range(bounces):
         if compaction and bounce > 0:
             state = _compact(state)
-        kh = tracer(state.origin, state.direction, state.inv_direction)
+        kh = tracer(tracer_state, state.origin, state.direction, state.inv_direction)
         hit = (kh.tri >= 0) & state.active
         missed = (~(kh.tri >= 0)) & state.active
 
@@ -313,6 +331,7 @@ def _pt_chunk(
 
 def render_frame_pt(
     tracer,
+    tracer_state,
     materials: MaterialTable,
     sampler: CameraSampler,
     key,
@@ -328,9 +347,9 @@ def render_frame_pt(
 ) -> jnp.ndarray:
     """Path-traced frame: mean RGB + alpha=1, shape ``(H, W, 4)``.
 
-    ``tracer`` comes from :func:`make_pallas_tracer` (TPU) or
-    :func:`make_xla_tracer` (portable); keep the same tracer object across
-    calls to reuse the jit cache.
+    ``(tracer, tracer_state)`` comes from :func:`make_pallas_tracer` (TPU)
+    or :func:`make_xla_tracer` (portable); keep the same tracer function
+    object across calls to reuse the jit cache.
     """
     if env is None:
         env = Environment.sky()
@@ -342,6 +361,7 @@ def render_frame_pt(
     while done < spp:
         n = min(samples_per_packet, spp - done)
         part = _pt_chunk(
+            tracer_state,
             materials,
             env,
             sampler,

@@ -48,8 +48,10 @@ def _tracer(obj):
 
 def _render(obj, table, camera, env, spp=4, bounces=4, w=16, h=16):
     sampler = camera.build_sampler((w, h))
+    tracer, tracer_state = _tracer(obj)
     img = render_frame_pt(
-        _tracer(obj),
+        tracer,
+        tracer_state,
         table,
         sampler,
         jax.random.key(0),
@@ -119,12 +121,12 @@ class TestAnalytic:
             width=16, height=16, spp=8, bounces=4, env=env,
             px_block=(16, 16), samples_per_packet=8,
         )
-        tr = _tracer(obj)
+        tr, tr_state = _tracer(obj)
         a = np.asarray(
-            render_frame_pt(tr, table, sampler, jax.random.key(1), compaction=True, **kw)
+            render_frame_pt(tr, tr_state, table, sampler, jax.random.key(1), compaction=True, **kw)
         )
         b = np.asarray(
-            render_frame_pt(tr, table, sampler, jax.random.key(2), compaction=False, **kw)
+            render_frame_pt(tr, tr_state, table, sampler, jax.random.key(2), compaction=False, **kw)
         )
         np.testing.assert_allclose(
             a[..., :3].mean(), b[..., :3].mean(), rtol=0.05

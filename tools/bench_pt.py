@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Path-tracer benchmark: wavefront compaction vs masked megakernel.
+
+The BASELINE.json convergence config ("Sponza 1024 spp: wavefront vs naive
+masked megakernel") realized on the atrium stand-in with materials: measures
+per-frame wall clock for both modes and verifies their estimators agree.
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/bench_pt.py [W H spp]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from minipath_tpu.camera import Camera
+from minipath_tpu.render.pallas_kernels import prepare_scene
+from minipath_tpu.render.wavefront import make_pallas_tracer, render_frame_pt
+from minipath_tpu.scene.bvh import native
+from minipath_tpu.scene.bvh.build import build_bvh
+from minipath_tpu.scene.materials import (
+    Environment,
+    dielectric,
+    emissive,
+    lambertian,
+    material_table,
+    metal,
+)
+from minipath_tpu.scene.procedural import make_atrium
+
+
+def build_scene():
+    mesh = make_atrium(250_000)
+    # Assign materials by height band: floor/walls diffuse, columns rough
+    # metal, props mixed, a few emissive.
+    T = mesh.triangle_count
+    tri_y = mesh.positions[mesh.triangles][:, :, 1].mean(axis=1)
+    rng = np.random.default_rng(11)
+    mats = np.zeros(T, np.int32)
+    mats[tri_y > 10.0] = 4  # ceiling emissive panels
+    props = (tri_y > 0.1) & (tri_y < 4.0)
+    mats[props] = rng.integers(1, 4, props.sum())
+    table = material_table(
+        [
+            lambertian((0.65, 0.62, 0.58)),  # 0 structure
+            lambertian((0.7, 0.3, 0.25)),  # 1
+            metal((0.85, 0.8, 0.7), 0.15),  # 2
+            dielectric(1.5),  # 3
+            emissive((1.0, 0.95, 0.85), 4.0),  # 4
+        ]
+    )
+    if native.is_available():
+        res = native.build_bvh_native(mesh, materials=mats, leaf_max=24)
+    else:
+        res = build_bvh(mesh, materials=mats, leaf_max=24)
+    return res, table
+
+
+def main():
+    W = int(sys.argv[1]) if len(sys.argv) > 1 else 1920
+    H = int(sys.argv[2]) if len(sys.argv) > 2 else 1080
+    SPP = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    BOUNCES = 5
+
+    res, table = build_scene()
+    scene = prepare_scene(res.as_device())
+    tracer, tracer_state = make_pallas_tracer(
+        scene, stack_size=res.recommended_stack_size, packet_size=2048
+    )
+    cam = (
+        Camera()
+        .look_at((-16.0, 4.0, 0.0), (10.0, 3.0, 0.5))
+        .f_number(8.0)
+        .sensor_width(36e-3)
+    )
+    sampler = cam.build_sampler((W, H))
+    key = jax.random.key(0)
+
+    def frame(k, compaction):
+        img = render_frame_pt(
+            tracer,
+            tracer_state,
+            table,
+            sampler,
+            k,
+            width=W,
+            height=H,
+            spp=SPP,
+            bounces=BOUNCES,
+            env=Environment.sky(),
+            samples_per_packet=min(8, SPP),
+            compaction=compaction,
+        )
+        return jnp.mean(img[..., :3], axis=(0, 1))
+
+    results = {}
+    for compaction in (True, False):
+        name = "wavefront" if compaction else "megakernel"
+        t0 = time.time()
+        m = np.asarray(frame(key, compaction))
+        print(f"{name} warmup (incl compile): {time.time()-t0:.1f}s mean={m}", flush=True)
+        times = []
+        for i in range(2):
+            t0 = time.time()
+            m = np.asarray(frame(jax.random.fold_in(key, 10 + i), compaction))
+            times.append(time.time() - t0)
+        best = min(times)
+        paths = W * H * SPP
+        results[name] = (best, m)
+        print(
+            f"{name}: {best:.2f}s/frame  {paths/best/1e6:.1f} Mpaths/s "
+            f"({BOUNCES} bounces)  mean_rgb={m.round(4)}",
+            flush=True,
+        )
+    wf, mk = results["wavefront"], results["megakernel"]
+    print(
+        f"speedup wavefront vs megakernel: {mk[0]/wf[0]:.2f}x; "
+        f"estimator mean delta: {np.abs(wf[1]-mk[1]).max():.4f}"
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

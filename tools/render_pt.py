@@ -48,10 +48,10 @@ W, H, SPP = 960, 540, int(sys.argv[1]) if len(sys.argv) > 1 else 64
 mesh, mat_ids, table = build_material_scene()
 res = build_bvh(mesh, materials=mat_ids)
 scene = prepare_scene(res.as_device())
-tracer = make_pallas_tracer(scene, stack_size=res.recommended_stack_size, packet_size=2048)
+tracer, tracer_state = make_pallas_tracer(scene, stack_size=res.recommended_stack_size, packet_size=2048)
 cam = Camera().look_at((0.0, 2.2, 7.5), (0.0, 1.0, 0.0)).f_number(8.0).sensor_width(36e-3)
 t0=time.time()
-img = render_frame_pt(tracer, table, cam.build_sampler((W,H)), jax.random.key(0),
+img = render_frame_pt(tracer, tracer_state, table, cam.build_sampler((W,H)), jax.random.key(0),
                       width=W, height=H, spp=SPP, bounces=6, env=Environment.sky(),
                       px_block=(16,16), samples_per_packet=8)
 a = np.asarray(img)
