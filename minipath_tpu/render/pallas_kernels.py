@@ -52,10 +52,26 @@ class PallasScene(NamedTuple):
 
     node_box: jnp.ndarray  # (N, 48) f32: per child c, [c*6:c*6+6] = cmin, cmax
     node_links: jnp.ndarray  # (N, 8) i32
-    tri_data: jnp.ndarray  # (M, 72) f32: per lane l, [l*9:l*9+9] = v0, e1, e2
+    # (M, 80) f32: per lane l, [l*9:l*9+9] = v0, e1, e2; [72+l] = material id
+    # as a float. Material ids ride in the same row because Mosaic pads every
+    # row to 128 lanes — a separate (M, 8) array would cost a full extra
+    # padded window (+50% VMEM) for 8 ints.
+    tri_data: jnp.ndarray
     tri_shade: jnp.ndarray  # (M, 72) f32: per lane l, vertex normals n0,n1,n2
-    tri_mat: jnp.ndarray  # (M, 8) i32: material id per lane
     root: jnp.ndarray  # (1, 1) i32
+
+    def vmem_bytes(self) -> int:
+        """Estimated kernel VMEM window (rows pad to 128 lanes)."""
+
+        def padded(a):
+            return a.shape[0] * 128 * 4
+
+        return (
+            padded(self.node_box)
+            + padded(self.node_links)
+            + padded(self.tri_data)
+            + padded(self.tri_shade)
+        )
 
 
 def prepare_scene(bvh: BvhArrays) -> PallasScene:
@@ -83,26 +99,34 @@ def prepare_scene(bvh: BvhArrays) -> PallasScene:
     vnorm = jnp.where(flat[..., None, None], geom[:, :, None, :], vnorm)
     tri_shade = vnorm.reshape(M, 72)
 
-    tri_mat = bvh.tri_material.reshape(M, 8).astype(jnp.int32)
+    mat_f32 = bvh.tri_material.reshape(M, 8).astype(jnp.float32)
+    tri_data = jnp.concatenate([tri_data.astype(jnp.float32), mat_f32], axis=-1)
 
     root = jnp.asarray(bvh.root, jnp.int32).reshape(1, 1)
-    return PallasScene(
+    scene = PallasScene(
         node_box=node_box.astype(jnp.float32),
         node_links=bvh.node_child_links.astype(jnp.int32),
-        tri_data=tri_data.astype(jnp.float32),
+        tri_data=tri_data,
         tri_shade=tri_shade.astype(jnp.float32),
-        tri_mat=tri_mat,
         root=root,
     )
+    budget = 100 * 1024 * 1024  # must match CompilerParams below
+    if scene.vmem_bytes() > budget:
+        raise ValueError(
+            f"scene needs ~{scene.vmem_bytes()/1e6:.0f} MB of VMEM, over the "
+            f"kernel budget ({budget/1e6:.0f} MB); the scene is too large for "
+            "VMEM-resident traversal (~1.2M triangles max). Use the portable "
+            "XLA engine (render backend='xla') or split the scene."
+        )
+    return scene
 
 
 def _traverse_kernel(
     root_ref,  # SMEM (1, 1) i32
     node_box_ref,  # VMEM (N, 48) f32
     node_links_ref,  # VMEM (N, 8) i32
-    tri_ref,  # VMEM (M, 72) f32
+    tri_ref,  # VMEM (M, 80) f32 — v0,e1,e2 per lane + material ids [72:80]
     shade_ref,  # VMEM (M, 72) f32 — per-lane vertex normals
-    mat_ref,  # VMEM (M, 8) i32 — per-lane material ids
     rays_ref,  # VMEM (1, 9, P) f32 — packet block
     t_ref,  # out VMEM (1, P) f32
     tri_out_ref,  # out VMEM (1, P) i32
@@ -226,9 +250,8 @@ def _traverse_kernel(
             def packet_body(j, pc):
                 best_t, best_tri, bnx, bny, bnz, bmat = pc
                 pidx = idx + j
-                tris = tri_ref[pidx]  # (72,)
+                tris = tri_ref[pidx]  # (80,)
                 shade = shade_ref[pidx]  # (72,)
-                mats = mat_ref[pidx]  # (8,)
                 for lane in range(8):
                     o = lane * 9
                     v0x, v0y, v0z = tris[o + 0], tris[o + 1], tris[o + 2]
@@ -277,7 +300,7 @@ def _traverse_kernel(
                     bnx = jnp.where(ok, nx * inv_len, bnx)
                     bny = jnp.where(ok, ny * inv_len, bny)
                     bnz = jnp.where(ok, nz * inv_len, bnz)
-                    bmat = jnp.where(ok, mats[lane], bmat)
+                    bmat = jnp.where(ok, tris[72 + lane].astype(jnp.int32), bmat)
                 return best_t, best_tri, bnx, bny, bnz, bmat
 
             best_t, best_tri, bnx, bny, bnz, bmat = jax.lax.fori_loop(
@@ -366,9 +389,6 @@ def trace_packets_pallas(
                 scene.tri_shade.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                scene.tri_mat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
                 (1, 9, S, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
@@ -405,7 +425,6 @@ def trace_packets_pallas(
         scene.node_links,
         scene.tri_data,
         scene.tri_shade,
-        scene.tri_mat,
         rays9,
     )
     return KernelHits(
