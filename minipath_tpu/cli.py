@@ -116,10 +116,13 @@ def main(argv=None) -> int:
     if not args.quiet:
         print(file=sys.stderr)
 
-    rays = args.width * args.height * args.spp
+    # Report work actually done: the machinery rounds spp up to a whole
+    # number of equal compiled passes (progress.spp_effective).
+    spp = progress.spp_effective
+    rays = args.width * args.height * spp
     elapsed = progress.elapsed()
     print(
-        f"rendered {args.width}x{args.height} @ {args.spp} spp in {elapsed:.2f}s "
+        f"rendered {args.width}x{args.height} @ {spp} spp in {elapsed:.2f}s "
         f"({rays / elapsed / 1e6:.1f} Mrays/s)",
         file=sys.stderr,
     )

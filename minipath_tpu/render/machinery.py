@@ -73,9 +73,16 @@ class _RenderState:
 class RenderProgress:
     """Handle to an in-flight render (``machinery.rs:125-178``)."""
 
-    def __init__(self, state: _RenderState, thread: threading.Thread):
+    def __init__(
+        self, state: _RenderState, thread: threading.Thread, spp_effective: int
+    ):
         self._state = state
         self._thread = thread
+        #: Samples actually rendered per pixel. ``sample_count`` is rounded
+        #: up to a whole number of equal compiled passes (one Mosaic program
+        #: per render), so this can exceed ``RenderSettings.sample_count``;
+        #: the mean image stays unbiased either way.
+        self.spp_effective = spp_effective
 
     def progress(self) -> RenderProgressSnapshot:
         return RenderProgressSnapshot(
@@ -282,4 +289,4 @@ def render(
 
     thread = threading.Thread(target=driver, name="minipath-render-driver", daemon=True)
     thread.start()
-    return RenderProgress(state, thread)
+    return RenderProgress(state, thread, spp_effective)

@@ -40,6 +40,11 @@ class KernelHits(NamedTuple):
     tri: jnp.ndarray  # (B, P) i32, -1 on miss
     normal: jnp.ndarray  # (B, P, 3) f32 shading normal (zeros on miss)
     material: jnp.ndarray  # (B, P) i32
+    # (B,) i32 count of dropped stack pushes (0 = results exact; >0 = the
+    # traversal stack overflowed and intersections may be missing). The
+    # reference's growable StackCache (ray_bvh_intersection.rs:19-23) can't
+    # exist in fixed SMEM, so overflow is surfaced instead of corrupting.
+    overflow: jnp.ndarray | None = None
 
 
 class PallasScene(NamedTuple):
@@ -134,10 +139,12 @@ def _traverse_kernel(
     ny_ref,
     nz_ref,
     mat_out_ref,  # out VMEM (1, P) i32 — material id at best hit
+    ovf_ref,  # out VMEM (1, 1, LANES) i32 — dropped-push count (lane 0)
     stack_ref,  # SMEM scratch (S,) i32 — encoded node links
     stack_t_ref,  # SMEM scratch (S,) f32 — packet-min entry distance
     *,
     t_max: float,
+    stack_size: int,
 ):
     # Ray fields as (S, 128) vector registers (S*128 = packet size).
     S, LANES = rays_ref.shape[2], rays_ref.shape[3]
@@ -160,7 +167,7 @@ def _traverse_kernel(
         return sp > 0
 
     def body(carry):
-        sp, max_best, best_t, best_tri, bnx, bny, bnz, bmat = carry
+        sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat = carry
         link = stack_ref[sp - 1]
         t_entry = stack_t_ref[sp - 1]
         sp = sp - 1
@@ -169,7 +176,7 @@ def _traverse_kernel(
         is_leaf = count != 0
 
         def inner_case(args):
-            sp, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
+            sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
             boxes = node_box_ref[idx]  # (48,)
             clinks = node_links_ref[idx]  # (8,)
             child_links = []
@@ -232,17 +239,23 @@ def _traverse_kernel(
             for c in range(8):
                 clink = child_links[c]
                 push = clink != _NULL
+                # Bounded push: an undersized stack drops the entry and
+                # counts it (visible on KernelHits.overflow) instead of
+                # writing past the SMEM scratch buffer.
+                fits = sp < stack_size
+                ok = push & fits
 
-                @pl.when(push)
+                @pl.when(ok)
                 def _():
                     stack_ref[sp] = clink
                     stack_t_ref[sp] = child_tmin[c]
 
-                sp = sp + push.astype(jnp.int32)
-            return sp, max_best, best_t, best_tri, bnx, bny, bnz, bmat
+                sp = sp + ok.astype(jnp.int32)
+                ovf = ovf + (push & ~fits).astype(jnp.int32)
+            return sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat
 
         def leaf_case(args):
-            sp, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
+            sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
 
             # Process the whole leaf run (count packets of 8 triangles) in
             # one pop: an inner fori over packets replaces the reference's
@@ -307,7 +320,7 @@ def _traverse_kernel(
                 0, count, packet_body, (best_t, best_tri, bnx, bny, bnz, bmat)
             )
             max_best = jnp.max(best_t)
-            return sp, max_best, best_t, best_tri, bnx, bny, bnz, bmat
+            return sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat
 
         def skip_case(args):
             return args
@@ -320,18 +333,19 @@ def _traverse_kernel(
             live,
             lambda args: jax.lax.cond(is_leaf, leaf_case, inner_case, args),
             skip_case,
-            (sp, max_best, best_t, best_tri, bnx, bny, bnz, bmat),
+            (sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat),
         )
 
     best_t0 = jnp.full((S, LANES), t_max, jnp.float32)
     best_tri0 = jnp.full((S, LANES), -1, jnp.int32)
     zeros = jnp.zeros((S, LANES), jnp.float32)
     sp0 = jnp.where(root == _NULL, 0, 1).astype(jnp.int32)
-    _, _, best_t, best_tri, bnx, bny, bnz, bmat = jax.lax.while_loop(
+    _, ovf, _, best_t, best_tri, bnx, bny, bnz, bmat = jax.lax.while_loop(
         cond,
         body,
         (
             sp0,
+            jnp.int32(0),
             jnp.float32(t_max),
             best_t0,
             best_tri0,
@@ -347,6 +361,7 @@ def _traverse_kernel(
     ny_ref[0] = bny
     nz_ref[0] = bnz
     mat_out_ref[0] = bmat
+    ovf_ref[0] = jnp.full((1, LANES), ovf, jnp.int32)
 
 
 @functools.partial(
@@ -370,7 +385,9 @@ def trace_packets_pallas(
     """
     B, _, S, LANES = rays9.shape
     P = S * LANES
-    kernel = functools.partial(_traverse_kernel, t_max=float(t_max))
+    kernel = functools.partial(
+        _traverse_kernel, t_max=float(t_max), stack_size=int(stack_size)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B,),
@@ -395,13 +412,16 @@ def trace_packets_pallas(
         out_specs=[
             pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ]
-        * 6,
+        * 6
+        + [
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
         scratch_shapes=[
             pltpu.SMEM((stack_size,), jnp.int32),
             pltpu.SMEM((stack_size,), jnp.float32),
         ],
     )
-    best_t, best_tri, nx, ny, nz, mat = pl.pallas_call(
+    best_t, best_tri, nx, ny, nz, mat, ovf = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -417,6 +437,7 @@ def trace_packets_pallas(
             jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(
@@ -434,6 +455,7 @@ def trace_packets_pallas(
             [nx.reshape(B, P), ny.reshape(B, P), nz.reshape(B, P)], axis=-1
         ),
         material=mat.reshape(B, P),
+        overflow=ovf[:, 0, 0],
     )
 
 
@@ -469,6 +491,9 @@ def intersect_bvh_pallas(
     best_t, best_tri = kh.t, kh.tri
     miss = best_tri < 0
     result = TraceResult(
-        t=jnp.where(miss, jnp.inf, best_t), tri=best_tri, steps=jnp.int32(0)
+        t=jnp.where(miss, jnp.inf, best_t),
+        tri=best_tri,
+        steps=jnp.int32(0),
+        overflow=jnp.sum(kh.overflow),
     )
     return finalize_hits(bvh, rays, result)

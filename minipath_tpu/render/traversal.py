@@ -54,6 +54,10 @@ class TraceResult(NamedTuple):
     t: jnp.ndarray  # (B, P) f32
     tri: jnp.ndarray  # (B, P) i32
     steps: jnp.ndarray  # () i32 — traversal iterations (profiling)
+    # () i32 — stack pushes dropped because the stack was full. Non-zero
+    # means intersections may have been missed; size the stack with
+    # BuildResult.recommended_stack_size to guarantee zero.
+    overflow: jnp.ndarray | None = None
 
 
 class _State(NamedTuple):
@@ -63,6 +67,7 @@ class _State(NamedTuple):
     best_t: jnp.ndarray
     best_tri: jnp.ndarray
     steps: jnp.ndarray
+    overflow: jnp.ndarray
 
 
 def trace_packets(
@@ -89,7 +94,7 @@ def trace_packets(
         return jnp.any(s.sp > 0)
 
     def body(s: _State) -> _State:
-        sp, stack_links, stack_tmin, best_t, best_tri, steps = s
+        sp, stack_links, stack_tmin, best_t, best_tri, steps, overflow = s
         active = sp > 0
         top = jnp.maximum(sp - 1, 0)
         link = jnp.where(active, stack_links[barange, top], _NULL)
@@ -126,13 +131,16 @@ def trace_packets(
         sorted_tmin = jnp.take_along_axis(child_tmin, order, 1)
         offs = jnp.cumsum(sorted_any.astype(jnp.int32), axis=1) - sorted_any
         write_pos = jnp.where(sorted_any, sp[:, None] + offs, S)  # S drops
+        overflow = overflow + jnp.sum(
+            sorted_any & (write_pos >= S), dtype=jnp.int32
+        )
         stack_links = stack_links.at[barange[:, None], write_pos].set(
             sorted_links, mode="drop"
         )
         stack_tmin = stack_tmin.at[barange[:, None], write_pos].set(
             sorted_tmin, mode="drop"
         )
-        sp = sp + jnp.sum(sorted_any, axis=1, dtype=jnp.int32)
+        sp = jnp.minimum(sp + jnp.sum(sorted_any, axis=1, dtype=jnp.int32), S)
 
         # ---- leaves: all P rays vs one 8-triangle packet ---------------------
         tris = bvh.tri_packets[leaf_idx]  # (B, 8, 3, 3)
@@ -158,19 +166,25 @@ def trace_packets(
         cont = leaf & (count > 1)
         cont_link = ((leaf_idx + 1) << L.COUNT_BITS) | jnp.maximum(count - 1, 1)
         cpos = jnp.where(cont, sp, S)
+        overflow = overflow + jnp.sum(cont & (cpos >= S), dtype=jnp.int32)
         stack_links = stack_links.at[barange, cpos].set(cont_link, mode="drop")
         stack_tmin = stack_tmin.at[barange, cpos].set(t_entry, mode="drop")
-        sp = sp + cont.astype(jnp.int32)
+        sp = sp + (cont & (cpos < S)).astype(jnp.int32)
 
-        return _State(sp, stack_links, stack_tmin, best_t, best_tri, steps + 1)
+        return _State(
+            sp, stack_links, stack_tmin, best_t, best_tri, steps + 1, overflow
+        )
 
-    init = _State(sp, stack_links, stack_tmin, best_t, best_tri, jnp.int32(0))
+    init = _State(
+        sp, stack_links, stack_tmin, best_t, best_tri, jnp.int32(0), jnp.int32(0)
+    )
     final = jax.lax.while_loop(cond, body, init)
     miss = final.best_tri < 0
     return TraceResult(
         t=jnp.where(miss, jnp.inf, final.best_t),
         tri=final.best_tri,
         steps=final.steps,
+        overflow=final.overflow,
     )
 
 

@@ -127,7 +127,13 @@ def scatter(
     return new_dir, attenuation, emitted, terminate
 
 
-def make_pallas_tracer(scene: PallasScene, *, stack_size: int, packet_size: int = 2048):
+def make_pallas_tracer(
+    scene: PallasScene,
+    *,
+    stack_size: int,
+    packet_size: int = 2048,
+    interpret: bool = False,
+):
     """Tracer over the Pallas kernel.
 
     Returns ``(tracer_fn, tracer_state)``: the function is closed over only
@@ -135,19 +141,34 @@ def make_pallas_tracer(scene: PallasScene, *, stack_size: int, packet_size: int 
     closing over device arrays would bake the whole scene into the compiled
     program as constants, blowing the scoped-VMEM budget and program size.
     """
+    assert packet_size % 128 == 0, packet_size
 
     def tracer(state: PallasScene, origin, direction, inv_direction):
         N = origin.shape[0]
-        B = N // packet_size
+        # Pad the ray stream up to a whole number of packets by repeating
+        # the tail rays (coherent with their packet, so the duplicate lanes
+        # add no node visits); padded results are sliced away below.
+        Np = -(-N // packet_size) * packet_size
+        if Np != N:
+            pad = jnp.arange(Np - N) % N
+            origin = jnp.concatenate([origin, origin[pad]], axis=0)
+            direction = jnp.concatenate([direction, direction[pad]], axis=0)
+            inv_direction = jnp.concatenate(
+                [inv_direction, inv_direction[pad]], axis=0
+            )
+        B = Np // packet_size
         r9 = jnp.concatenate([origin, direction, inv_direction], axis=-1)
         r9 = jnp.swapaxes(r9.reshape(B, packet_size, 9), 1, 2)
         r9 = r9.reshape(B, 9, packet_size // 128, 128)
-        kh = trace_packets_pallas(state, r9, stack_size=stack_size)
+        kh = trace_packets_pallas(
+            state, r9, stack_size=stack_size, interpret=interpret
+        )
         return KernelHits(
-            t=kh.t.reshape(N),
-            tri=kh.tri.reshape(N),
-            normal=kh.normal.reshape(N, 3),
-            material=kh.material.reshape(N),
+            t=kh.t.reshape(Np)[:N],
+            tri=kh.tri.reshape(Np)[:N],
+            normal=kh.normal.reshape(Np, 3)[:N],
+            material=kh.material.reshape(Np)[:N],
+            overflow=kh.overflow,
         )
 
     return tracer, scene

@@ -68,14 +68,66 @@ class BuildResult:
 
     @property
     def recommended_stack_size(self) -> int:
-        # Each inner-node pop nets at most +7 entries; leaf continuations
-        # net 0. Root contributes 1. Generous headroom on top.
-        return 8 * (self.max_depth + 2)
+        # Provable worst case: the root contributes 1 entry and every
+        # inner-node pop on the DFS path nets at most +7 (pop 1, push <= 8),
+        # with at most ``max_depth`` inner levels above any leaf; leaf
+        # continuations net 0 (pop 1, push 1). Bound = 7 * max_depth + 1,
+        # plus 8 headroom (the kernel also guards pushes and reports
+        # overflow, so an undersized stack degrades loudly, not silently).
+        return 7 * self.max_depth + 9
 
     def as_device(self) -> BvhArrays:
         import jax.numpy as jnp
 
         return BvhArrays(*(jnp.asarray(a) for a in self.arrays))
+
+
+def compute_tree_stats(arrays: BvhArrays):
+    """Post-walk BVH health statistics from the flat arrays alone.
+
+    Returns ``(max_depth, leaf_depth, inner_fill, leaf_fill)`` with the same
+    meaning as the reference's recursive walk
+    (``/root/reference/src/scene/triangle_bvh/printing.rs:11-70``): leaf
+    depth distribution, children per inner node, non-padding triangles per
+    leaf. Used to fill statistics for builders that don't track them inline
+    (the native C++ builder).
+    """
+    leaf_depth, inner_fill, leaf_fill = Stats(), Stats(), Stats()
+    root = int(arrays.root)
+    if root == L.NULL_LINK:
+        return 0, leaf_depth, inner_fill, leaf_fill
+
+    links_arr = np.asarray(arrays.node_child_links)
+    tp = np.asarray(arrays.tri_packets)
+    real_lane = tp.reshape(tp.shape[0], 8, 9).any(axis=2)  # non-padding lanes
+    lane_csum = np.concatenate(
+        [[0], np.cumsum(real_lane.sum(axis=1, dtype=np.int64))]
+    )
+
+    max_depth = 0
+    frontier = np.array([root], np.int64)  # encoded links at current depth
+    depth = 0
+    while frontier.size:
+        counts = frontier & L.COUNT_MASK
+        idxs = frontier >> L.COUNT_BITS
+        is_leaf = counts != 0
+        if is_leaf.any():
+            first = idxs[is_leaf]
+            cnt = counts[is_leaf]
+            fills = lane_csum[first + cnt] - lane_csum[first]
+            leaf_fill.add_samples(fills)
+            leaf_depth.add_samples(np.full(first.shape, depth))
+            max_depth = depth
+        inner_idx = idxs[~is_leaf]
+        if inner_idx.size:
+            children = links_arr[inner_idx]  # (k, 8)
+            valid = children != L.NULL_LINK
+            inner_fill.add_samples(valid.sum(axis=1))
+            frontier = children[valid].astype(np.int64)
+        else:
+            frontier = np.empty(0, np.int64)
+        depth += 1
+    return max_depth, leaf_depth, inner_fill, leaf_fill
 
 
 def _surface_area(bmin: np.ndarray, bmax: np.ndarray) -> np.ndarray:

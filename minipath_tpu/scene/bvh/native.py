@@ -141,7 +141,6 @@ def build_bvh_native(mesh, materials=None, leaf_max: int = 56):
     """Native BVH build; returns a BuildResult interchangeable with the
     Python builder's output (same layout spec)."""
     from minipath_tpu.scene.bvh.build import BuildResult, BvhArrays
-    from minipath_tpu.utils.stats import Stats
 
     lib = _load()
     assert lib is not None
@@ -230,14 +229,20 @@ def build_bvh_native(mesh, materials=None, leaf_max: int = 56):
             bbox_min=np.array(out.bbox_min, np.float32, copy=True),
             bbox_max=np.array(out.bbox_max, np.float32, copy=True),
         )
+        # The C++ builder reports only max_depth; recover the full health
+        # statistics (printing.rs:11-70 parity) by post-walking the arrays.
+        from minipath_tpu.scene.bvh.build import compute_tree_stats
+
+        walk_depth, leaf_depth, inner_fill, leaf_fill = compute_tree_stats(arrays)
+        max_depth = max(int(out.max_depth), walk_depth)
         return BuildResult(
             arrays=arrays,
             triangle_count=T,
             vertex_count=mesh.vertex_count,
-            max_depth=int(out.max_depth),
-            leaf_depth=Stats(),
-            inner_fill=Stats(),
-            leaf_fill=Stats(),
+            max_depth=max_depth,
+            leaf_depth=leaf_depth,
+            inner_fill=inner_fill,
+            leaf_fill=leaf_fill,
         )
     finally:
         lib.mp_free_bvh(ctypes.byref(out))

@@ -26,6 +26,18 @@ class Stats:
         self.max = max(self.max, value)
         self.total += value
 
+    def add_samples(self, values) -> None:
+        """Vectorized :meth:`add_sample` over an array of values."""
+        import numpy as np
+
+        v = np.asarray(values, np.float64).ravel()
+        if not v.size:
+            return
+        self.count += int(v.size)
+        self.min = min(self.min, float(v.min()))
+        self.max = max(self.max, float(v.max()))
+        self.total += float(v.sum())
+
     def merge(self, other: "Stats") -> None:
         self.count += other.count
         self.min = min(self.min, other.min)

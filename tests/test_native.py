@@ -94,3 +94,36 @@ def test_native_shading_data(rng):
     assert not arrays.tri_flat[real].any()
     # vidx within range.
     assert arrays.tri_vidx.max() < mesh.vertex_count
+
+
+def test_native_statistics_populated(rng):
+    """Native builds must report real tree health stats (printing.rs:11-70
+    parity), recovered by post-walking the arrays."""
+    mesh = make_random_triangles(800, seed=42)
+    res = native.build_bvh_native(mesh)
+    assert res.leaf_fill.count > 0
+    assert int(res.leaf_fill.total) == mesh.triangle_count
+    assert res.leaf_depth.count == res.leaf_fill.count
+    assert int(res.leaf_depth.max) == res.max_depth
+    assert res.inner_fill.count > 0
+    assert 1 <= res.inner_fill.min and res.inner_fill.max <= 8
+
+
+def test_tree_stats_match_python_builder(rng):
+    """compute_tree_stats post-walk agrees with the Python builder's
+    inline-tracked statistics."""
+    from minipath_tpu.scene.bvh.build import compute_tree_stats
+
+    mesh = make_random_triangles(1000, seed=43)
+    res = build_bvh(mesh)
+    depth, leaf_depth, inner_fill, leaf_fill = compute_tree_stats(res.arrays)
+    assert depth == res.max_depth
+    for got, want in [
+        (leaf_depth, res.leaf_depth),
+        (inner_fill, res.inner_fill),
+        (leaf_fill, res.leaf_fill),
+    ]:
+        assert got.count == want.count
+        assert got.min == want.min
+        assert got.max == want.max
+        assert got.total == want.total

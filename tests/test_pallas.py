@@ -110,6 +110,52 @@ def test_pallas_empty_root():
     assert (np.asarray(kh.tri) == -1).all()
 
 
+def test_pallas_stack_overflow_fails_loudly(rng):
+    """An undersized traversal stack must report overflow, not silently
+    corrupt SMEM (reference analog: growable StackCache,
+    ray_bvh_intersection.rs:19-23)."""
+    mesh = make_random_triangles(1200, seed=5)
+    res = build_bvh(mesh)
+    bvh = res.as_device()
+    scene = prepare_scene(bvh)
+    origin = rng.uniform(-12, 12, (2, 128, 3)).astype(np.float32)
+    direction = rng.normal(size=(2, 128, 3)).astype(np.float32)
+    rays = make_rays(origin, direction)
+    r9 = rays_to_rays9(rays)
+
+    tiny = trace_packets_pallas(scene, r9, stack_size=2, interpret=True)
+    assert np.asarray(tiny.overflow).sum() > 0
+
+    full = trace_packets_pallas(
+        scene, r9, stack_size=res.recommended_stack_size, interpret=True
+    )
+    assert np.asarray(full.overflow).sum() == 0
+    # With the recommended stack the results match the oracle.
+    want = trace_brute_force(bvh.tri_packets, rays)
+    assert (
+        (np.asarray(full.tri) >= 0) == (np.asarray(want.tri) >= 0)
+    ).all()
+
+
+def test_xla_traversal_overflow_counter(rng):
+    mesh = make_random_triangles(900, seed=6)
+    res = build_bvh(mesh)
+    bvh = res.as_device()
+    origin = rng.uniform(-12, 12, (2, 64, 3)).astype(np.float32)
+    direction = rng.normal(size=(2, 64, 3)).astype(np.float32)
+    rays = make_rays(origin, direction)
+    tiny = trace_packets(bvh, rays, stack_size=2)
+    assert int(tiny.overflow) > 0
+    full = trace_packets(bvh, rays, stack_size=res.recommended_stack_size)
+    assert int(full.overflow) == 0
+
+
+def test_recommended_stack_bound():
+    mesh = make_random_triangles(3000, seed=9)
+    res = build_bvh(mesh)
+    assert res.recommended_stack_size >= 7 * res.max_depth + 1
+
+
 def test_pallas_in_kernel_shading_matches_finalize(rng):
     """The kernel's |d.n| must equal shade via finalize_hits (smooth + flat)."""
     from minipath_tpu.scene.procedural import make_quad

@@ -180,3 +180,32 @@ class TestScatter:
         assert abs(through + reflected - 1.0) < 1e-6
         np.testing.assert_allclose(np.asarray(att), np.ones_like(np.asarray(att)))
         assert not np.asarray(term).any()
+
+
+def test_pallas_tracer_pads_ragged_ray_counts(rng):
+    """A ray stream that isn't a whole number of packets is padded (and the
+    padding sliced away) instead of raising mid-render."""
+    from minipath_tpu.render.pallas_kernels import prepare_scene
+    from minipath_tpu.render.wavefront import make_pallas_tracer
+
+    obj, _ = _floor_scene(lambertian((0.5, 0.5, 0.5)))
+    tracer, state = make_pallas_tracer(
+        prepare_scene(obj.arrays),
+        stack_size=obj.recommended_stack_size,
+        packet_size=256,
+        interpret=True,
+    )
+    xtracer, xstate = make_xla_tracer(
+        obj.arrays, stack_size=obj.recommended_stack_size, packet_size=100
+    )
+    n = 300  # not a multiple of 256
+    origin = np.tile(np.array([0, 5, 0], np.float32), (n, 1))
+    origin += rng.uniform(-1, 1, (n, 3)).astype(np.float32) * [1, 0, 1]
+    direction = np.tile(np.array([0, -1, 0], np.float32), (n, 1))
+    with np.errstate(divide="ignore"):
+        inv = np.where(direction == 0, np.inf, 1.0 / direction).astype(np.float32)
+    got = tracer(state, jnp.asarray(origin), jnp.asarray(direction), jnp.asarray(inv))
+    want = xtracer(xstate, jnp.asarray(origin), jnp.asarray(direction), jnp.asarray(inv))
+    assert got.t.shape == (n,)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(want.tri))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(want.t), rtol=1e-5)

@@ -23,7 +23,7 @@ W, H = 1920, 1080
 
 
 def load_cached_atrium():
-    data = np.load("/root/repo/.bench_cache/atrium_250k_v1.npz")
+    data = np.load("/root/repo/.bench_cache/atrium_250k_v4.npz")
     arrays = BvhArrays(**{f: jnp.asarray(data[f]) for f in BvhArrays._fields})
     return BuildResult(
         arrays=arrays,
@@ -61,8 +61,8 @@ def main():
         r9.block_until_ready()
         B, _, S, LN = r9.shape
         nrays = B * S * LN
-        t, tri = trace_packets_pallas(scene, r9, stack_size=stack)
-        s = np.asarray(summarize(t, tri))
+        kh = trace_packets_pallas(scene, r9, stack_size=stack)
+        s = np.asarray(summarize(kh.t, kh.tri))
         best = 1e9
         for i in range(reps):
             r9b, _ = gen_frame_rays9(
@@ -75,8 +75,8 @@ def main():
             )
             r9b.block_until_ready()
             t0 = time.time()
-            t2, tri2 = trace_packets_pallas(scene, r9b, stack_size=stack)
-            np.asarray(summarize(t2, tri2))
+            kh2 = trace_packets_pallas(scene, r9b, stack_size=stack)
+            np.asarray(summarize(kh2.t, kh2.tri))
             best = min(best, time.time() - t0)
         print(
             f"{name}: B={B} P={S*LN} rays={nrays/1e6:.1f}M hit={s[0]:.1%} "
