@@ -5,11 +5,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the ratio against the BASELINE.md target of 100 Mrays/s
 sustained (the reference publishes no numbers of its own — see BASELINE.md).
 
-The Sponza asset itself is not in the reference snapshot (empty submodule),
-so the workload is the procedural atrium stand-in from
-``minipath_tpu.scene.procedural.make_atrium`` (~250k triangles, colonnade +
-props, BVH-heavy) rendered with the parity integrator (1 primary ray per
-sample, matching the reference's ray accounting).
+Workload: the Sponza asset itself is not in the reference snapshot (empty
+submodule), so the scene is the procedural atrium stand-in (~250k triangles,
+colonnade + props, BVH-heavy) — but loaded through the REAL asset pipeline:
+the mesh is written to a Wavefront OBJ once and every run goes through
+``TriangleBvh.with_obj`` (native C++ loader + builder), then renders with
+the parity integrator (1 primary ray per sample, the reference's ray
+accounting).
+
+Protocol (criterion-style, ``/root/reference/benches/render_teapot.rs:42-46``):
+a compiled-kernel smoke test (fail fast on Mosaic regressions), one cold
+frame (compile + warmup, reported separately), then N timed frames with
+mean/min/max/stddev. The headline value uses the mean. Side measurements
+(quantized-layout kernel, cold time) land in BENCH_extra.json.
 """
 
 from __future__ import annotations
@@ -22,8 +30,10 @@ import time
 import numpy as np
 
 WIDTH, HEIGHT, SPP = 1920, 1080, 64
+TIMED_FRAMES = 10
 TARGET_MRAYS = 100.0
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache")
 
 
 def log(*a):
@@ -31,40 +41,43 @@ def log(*a):
 
 
 def build_scene():
+    """Atrium BVH, built from an OBJ on disk via the public with_obj path."""
     from minipath_tpu.scene.bvh.build import BvhArrays, BuildResult
-    from minipath_tpu.scene.procedural import make_atrium
-    from minipath_tpu.scene.bvh.build import build_bvh
 
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, "atrium_250k_v4.npz")
+    path = os.path.join(CACHE, "atrium_obj_250k_v5.npz")
     if os.path.exists(path):
         log("loading cached atrium BVH")
         data = np.load(path)
         arrays = BvhArrays(**{f: data[f] for f in BvhArrays._fields})
-        result = BuildResult(
+        return BuildResult(
             arrays=arrays,
             triangle_count=int(data["meta_tris"]),
             vertex_count=int(data["meta_verts"]),
             max_depth=int(data["meta_depth"]),
         )
-        return result
 
-    log("building atrium scene...")
-    t0 = time.time()
-    mesh = make_atrium(250_000)
-    log(f"  mesh: {mesh.triangle_count} tris in {time.time()-t0:.1f}s")
+    from minipath_tpu.scene.obj_loader import save_obj
+    from minipath_tpu.scene.procedural import make_atrium
+    from minipath_tpu.scene.triangle_bvh import TriangleBvh
+
+    obj_path = os.path.join(CACHE, "atrium_250k.obj")
+    if not os.path.exists(obj_path):
+        log("building atrium scene + writing OBJ...")
+        t0 = time.time()
+        mesh = make_atrium(250_000)
+        save_obj(obj_path, mesh)
+        log(f"  {mesh.triangle_count} tris -> {obj_path} in {time.time()-t0:.1f}s")
+
     t0 = time.time()
     # leaf_max=24 traces ~11% faster than the format-limit 56 on this scene
     # (tools/perf_leaf.py sweep).
-    from minipath_tpu.scene.bvh import native
-
-    if native.is_available():
-        result = native.build_bvh_native(mesh, leaf_max=24)
-        kind = "native"
-    else:
-        result = build_bvh(mesh, leaf_max=24)
-        kind = "python"
-    log(f"  bvh ({kind}): depth={result.max_depth} in {time.time()-t0:.1f}s")
+    bvh = TriangleBvh.with_obj(obj_path, leaf_max=24)
+    result = bvh.build_result
+    log(
+        f"  with_obj: {result.triangle_count} tris, depth={result.max_depth} "
+        f"in {time.time()-t0:.1f}s"
+    )
     np.savez_compressed(
         path,
         **result.arrays._asdict(),
@@ -75,6 +88,73 @@ def build_scene():
     return result
 
 
+def smoke_test(bvh, scene, sampler, stack):
+    """Trace a tiny batch through the COMPILED kernel and compare against the
+    portable XLA engine; abort with a diff instead of wasting a full warmup
+    frame on a regressed kernel."""
+    import jax
+
+    from minipath_tpu.parallel.mesh import gen_frame_rays9
+    from minipath_tpu.render.frame import rays9_to_rays
+    from minipath_tpu.render.pallas_kernels import trace_scene
+    from minipath_tpu.render.traversal import trace_packets
+
+    log("compiled-kernel smoke test...")
+    t0 = time.time()
+    r9, _ = gen_frame_rays9(
+        sampler,
+        jax.random.key(42),
+        width=128,
+        height=16,
+        px_block=(16, 16),
+        samples=4,
+    )
+    kh = trace_scene(scene, r9, stack_size=stack)
+    got_tri = np.asarray(kh.tri).ravel()
+    got_t = np.asarray(kh.t).ravel()
+    rays = rays9_to_rays(r9)
+    want = trace_packets(bvh, rays, stack_size=stack)
+    want_tri = np.asarray(want.tri).ravel()
+    want_t = np.asarray(want.t).ravel()
+    hit_mismatch = ((got_tri >= 0) != (want_tri >= 0)).mean()
+    both = (got_tri >= 0) & (want_tri >= 0)
+    # Compare distances (the quantized layout legitimately differs from the
+    # f32 oracle by ~box/65535; the f32 layout must agree to float noise).
+    t_err = (
+        np.abs(got_t[both] - want_t[both]) / np.maximum(np.abs(want_t[both]), 1e-3)
+    ).max(initial=0.0)
+    if hit_mismatch > 1e-3 or t_err > 1e-2:
+        log(
+            f"SMOKE TEST FAILED: hit mismatch {hit_mismatch:.2%}, "
+            f"max rel t err {t_err:.2e} (compiled kernel vs XLA engine)"
+        )
+        sys.exit(1)
+    log(
+        f"  ok in {time.time()-t0:.1f}s (hit mismatch {hit_mismatch:.2%}, "
+        f"max rel t err {t_err:.1e})"
+    )
+
+
+def time_frames(frame, sync, key, n, label):
+    import jax
+
+    times = []
+    for i in range(n):
+        t0 = time.time()
+        cov = sync(frame(jax.random.fold_in(key, 100 + i)))
+        times.append(time.time() - t0)
+        log(f"  {label} frame {i}: {times[-1]:.2f}s")
+    arr = np.array(times)
+    return {
+        "mean_s": round(float(arr.mean()), 4),
+        "std_s": round(float(arr.std()), 4),
+        "min_s": round(float(arr.min()), 4),
+        "max_s": round(float(arr.max()), 4),
+        "n": n,
+        "coverage": round(cov, 4),
+    }
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -83,7 +163,10 @@ def main() -> int:
 
     from minipath_tpu.camera import Camera
     from minipath_tpu.render.frame import render_frame_pallas
-    from minipath_tpu.render.pallas_kernels import prepare_scene
+    from minipath_tpu.render.pallas_kernels import (
+        prepare_scene,
+        prepare_scene_quantized,
+    )
 
     result = build_scene()
     bvh = result.as_device()
@@ -100,47 +183,72 @@ def main() -> int:
     sampler = camera.build_sampler((WIDTH, HEIGHT))
     key = jax.random.key(0)
 
-    def frame(k):
-        return render_frame_pallas(
-            bvh,
-            sampler,
-            k,
-            width=WIDTH,
-            height=HEIGHT,
-            spp=SPP,
-            stack_size=stack,
-            samples_per_packet=32,
-            scene=scene,
-        )
+    def make_frame(scn):
+        def frame(k):
+            return render_frame_pallas(
+                bvh,
+                sampler,
+                k,
+                width=WIDTH,
+                height=HEIGHT,
+                spp=SPP,
+                stack_size=stack,
+                samples_per_packet=32,
+                scene=scn,
+            )
+
+        return frame
 
     def sync(img):
         # Materialize a scalar on the host: under the axon tunnel,
         # block_until_ready alone does not synchronize with execution.
         return float(np.asarray(jnp.mean((img[..., 3] > 0).astype(jnp.float32))))
 
-    log("compiling + warmup...")
-    t0 = time.time()
-    coverage = sync(frame(key))
-    log(f"  warmup frame: {time.time()-t0:.1f}s")
+    smoke_test(bvh, scene, sampler, stack)
 
-    # Timed runs.
-    times = []
-    for i in range(3):
-        t0 = time.time()
-        coverage = sync(frame(jax.random.fold_in(key, 100 + i)))
-        times.append(time.time() - t0)
-        log(f"  frame {i}: {times[-1]:.2f}s")
-
-    best = min(times)
     rays = WIDTH * HEIGHT * SPP
-    mrays = rays / best / 1e6
-    log(f"frame {WIDTH}x{HEIGHT}@{SPP}spp: {best:.2f}s  {mrays:.1f} Mrays/s  "
-        f"coverage {coverage:.1%}")
+    frame = make_frame(scene)
+    log("cold frame (compile + warmup)...")
+    t0 = time.time()
+    sync(frame(key))
+    cold_s = time.time() - t0
+    log(f"  cold frame: {cold_s:.1f}s")
+
+    stats = time_frames(frame, sync, key, TIMED_FRAMES, "f32")
+    mrays = rays / stats["mean_s"] / 1e6
+    log(
+        f"f32 {WIDTH}x{HEIGHT}@{SPP}spp: {stats['mean_s']:.3f}s +- "
+        f"{stats['std_s']:.3f}s  {mrays:.1f} Mrays/s  coverage {stats['coverage']:.1%}"
+    )
+
+    # Side measurement: the 16-bit quantized layout (half the VMEM).
+    qscene = prepare_scene_quantized(result.arrays)
+    qframe = make_frame(qscene)
+    sync(qframe(key))  # warmup
+    qstats = time_frames(qframe, sync, key, 3, "quantized")
+    qmrays = rays / qstats["mean_s"] / 1e6
+    log(f"quantized: {qstats['mean_s']:.3f}s  {qmrays:.1f} Mrays/s")
+
+    extra = {
+        "workload": f"atrium-from-OBJ {result.triangle_count} tris, "
+        f"{WIDTH}x{HEIGHT} @ {SPP} spp, parity integrator",
+        "obj_loaded": True,
+        "cold_frame_s": round(cold_s, 2),
+        "f32_kernel": {**stats, "mrays_per_s": round(mrays, 2)},
+        "quantized_kernel": {**qstats, "mrays_per_s": round(qmrays, 2)},
+        "vmem_mb": {
+            "f32": round(scene.vmem_bytes() / 1e6, 1),
+            "quantized": round(qscene.vmem_bytes() / 1e6, 1),
+        },
+    }
+    with open(os.path.join(REPO, "BENCH_extra.json"), "w") as f:
+        json.dump(extra, f, indent=2)
+    log("wrote BENCH_extra.json")
 
     print(
         json.dumps(
             {
-                "metric": "atrium_1080p_64spp_throughput",
+                "metric": "atrium_obj_1080p_64spp_throughput",
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / TARGET_MRAYS, 3),

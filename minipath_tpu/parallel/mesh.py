@@ -112,6 +112,39 @@ def unpack_frame_ms(
     return unpack_frame(summed, width, height, packet_counts, px_block)
 
 
+def gen_rays9_blocks(
+    sampler: CameraSampler,
+    key,
+    block_start,  # traced i32 — first packet-block index (shard offset)
+    *,
+    block_count: int,
+    wc: int,
+    px_block=(8, 8),
+    samples: int = 4,
+):
+    """Multi-sample packet rays for ``block_count`` pixel blocks starting at
+    ``block_start`` in the frame's row-major block order (``wc`` blocks per
+    row). The shard-aware core of :func:`gen_frame_rays9`: a device mesh
+    shards the frame by giving each device its own block range.
+    """
+    from minipath_tpu.render.pallas_kernels import rays_to_rays9
+
+    bh, bw = px_block
+    bp = bh * bw
+    # Packet-major pixel coordinates: packet b covers block (by, bx).
+    b_idx = block_start + jax.lax.broadcasted_iota(jnp.int32, (block_count, bp), 0)
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (block_count, bp), 1)
+    by, bx = b_idx // wc, b_idx % wc
+    py, px = p_idx // bw, p_idx % bw
+    pix = jnp.stack(
+        [(bx * bw + px).astype(jnp.float32), (by * bh + py).astype(jnp.float32)],
+        axis=-1,
+    )  # (block_count, bp, 2)
+    pix = jnp.tile(pix, (1, samples, 1))  # (block_count, P, 2) sample-major
+    rays = sample_rays(sampler, pix, key)
+    return rays_to_rays9(rays)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "px_block", "samples"))
 def gen_frame_rays9(
     sampler: CameraSampler,
@@ -128,25 +161,19 @@ def gen_frame_rays9(
     constant arrays), then jittered/lens-sampled and packed to the kernel's
     ``(B, 9, P//128, 128)`` layout. Returns ``(rays9, packet_counts)``.
     """
-    from minipath_tpu.render.pallas_kernels import rays_to_rays9
-
     bh, bw = px_block
     hp, wp = _round_up(height, bh), _round_up(width, bw)
     hc, wc = hp // bh, wp // bw
-    B = hc * wc
-    bp = bh * bw
-    # Packet-major pixel coordinates: packet b covers block (by, bx).
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, bp), 0)
-    p_idx = jax.lax.broadcasted_iota(jnp.int32, (B, bp), 1)
-    by, bx = b_idx // wc, b_idx % wc
-    py, px = p_idx // bw, p_idx % bw
-    pix = jnp.stack(
-        [(bx * bw + px).astype(jnp.float32), (by * bh + py).astype(jnp.float32)],
-        axis=-1,
-    )  # (B, bp, 2)
-    pix = jnp.tile(pix, (1, samples, 1))  # (B, P, 2) sample-major
-    rays = sample_rays(sampler, pix, key)
-    return rays_to_rays9(rays), (hc, wc)
+    rays9 = gen_rays9_blocks(
+        sampler,
+        key,
+        jnp.int32(0),
+        block_count=hc * wc,
+        wc=wc,
+        px_block=px_block,
+        samples=samples,
+    )
+    return rays9, (hc, wc)
 
 
 def _sample_loop(bvh: BvhArrays, sampler: CameraSampler, pixels, key, spp: int, stack_size: int):

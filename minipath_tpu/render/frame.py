@@ -18,11 +18,16 @@ import jax
 import jax.numpy as jnp
 
 from minipath_tpu.camera import CameraSampler
-from minipath_tpu.parallel.mesh import gen_frame_rays9, unpack_frame
+from minipath_tpu.parallel.mesh import (
+    gen_frame_rays9,
+    gen_rays9_blocks,
+    unpack_frame,
+)
 from minipath_tpu.render.pallas_kernels import (
     PallasScene,
+    QuantizedPallasScene,
     prepare_scene,
-    trace_packets_pallas,
+    trace_scene,
 )
 from minipath_tpu.geometry.ray import Rays
 from minipath_tpu.scene.bvh.build import BvhArrays
@@ -40,30 +45,10 @@ def rays9_to_rays(rays9: jnp.ndarray) -> Rays:
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "px_block", "samples", "stack_size"),
-)
-def _render_chunk(
-    bvh: BvhArrays,
-    scene: PallasScene,
-    sampler: CameraSampler,
-    key,
-    *,
-    width: int,
-    height: int,
-    px_block,
-    samples: int,
-    stack_size: int,
-):
-    """One chunk: ``samples`` spp for every pixel. Returns ``(B, bp, 4)``
-    RGBA sums over the chunk's samples (bp = pixels per packet)."""
-    rays9, _counts = gen_frame_rays9(
-        sampler, key, width=width, height=height, px_block=px_block, samples=samples
-    )
-    kh = trace_packets_pallas(scene, rays9, stack_size=stack_size)
-    # Parity shading entirely from kernel outputs — no per-ray gathers
-    # (worker.rs:59-64: grayscale |d.n| with alpha on hit, transparent miss).
+def _shade_parity_sum(rays9, kh, samples: int):
+    """Parity shading entirely from kernel outputs — no per-ray gathers
+    (worker.rs:59-64: grayscale |d.n| with alpha on hit, transparent miss).
+    Returns ``(B, bp, 4)`` RGBA sums over the sample-major packet dim."""
     rays = rays9_to_rays(rays9)
     dot = jnp.abs(jnp.sum(rays.direction * kh.normal, axis=-1))
     hit = (kh.tri >= 0).astype(jnp.float32)
@@ -72,6 +57,34 @@ def _render_chunk(
     B, P, _ = rgba.shape
     bp = P // samples
     return rgba.reshape(B, samples, bp, 4).sum(axis=1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "px_block", "samples", "stack_size", "interpret"
+    ),
+)
+def _render_chunk(
+    bvh: BvhArrays,
+    scene,
+    sampler: CameraSampler,
+    key,
+    *,
+    width: int,
+    height: int,
+    px_block,
+    samples: int,
+    stack_size: int,
+    interpret: bool = False,
+):
+    """One chunk: ``samples`` spp for every pixel. Returns ``(B, bp, 4)``
+    RGBA sums over the chunk's samples (bp = pixels per packet)."""
+    rays9, _counts = gen_frame_rays9(
+        sampler, key, width=width, height=height, px_block=px_block, samples=samples
+    )
+    kh = trace_scene(scene, rays9, stack_size=stack_size, interpret=interpret)
+    return _shade_parity_sum(rays9, kh, samples)
 
 
 def render_frame_pallas(
@@ -85,7 +98,8 @@ def render_frame_pallas(
     stack_size: int,
     px_block=(16, 16),
     samples_per_packet: int = 16,
-    scene: PallasScene | None = None,
+    scene: "PallasScene | QuantizedPallasScene | None" = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Full-frame mean image ``(H, W, 4)`` float32 in [0, 1]."""
     if scene is None:
@@ -109,9 +123,92 @@ def render_frame_pallas(
             px_block=px_block,
             samples=n,
             stack_size=stack_size,
+            interpret=interpret,
         )
         acc = part if acc is None else acc + part
         done += n
         chunk_id += 1
     img = unpack_frame(acc, width, height, (hc, wc), px_block)
     return img / spp
+
+
+def make_frame_renderer_sharded(
+    mesh,
+    *,
+    width: int,
+    height: int,
+    stack_size: int,
+    px_block=(16, 16),
+    samples_per_packet: int = 16,
+    axis: str = "d",
+    interpret: bool = False,
+):
+    """Multi-chip whole-frame Pallas renderer over a device mesh.
+
+    The frame's packet blocks are statically sharded over the 1-D ``mesh``
+    (the scheduler role of ``machinery.rs:31-62,205-210`` at chip
+    granularity): the scene is replicated — every chip keeps its own full
+    VMEM-resident copy — each device generates the camera rays for its own
+    contiguous block range in-jit and runs the SAME traversal kernel on
+    them, and the only collective is the gather of the per-device image
+    shards implied by the output sharding. RNG is decorrelated by folding
+    each device's mesh position into the key.
+
+    Returns ``render(scene, sampler, key, spp) -> (H, W, 4)`` mean image;
+    ``scene`` may be a :class:`PallasScene` or :class:`QuantizedPallasScene`.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    bh, bw = px_block
+    hc = -(-height // bh)
+    wc = -(-width // bw)
+    B = hc * wc
+    n_dev = int(mesh.devices.size)
+    B_pad = -(-B // n_dev) * n_dev  # off-frame padding blocks trace air
+    B_loc = B_pad // n_dev
+
+    def local_chunk(scene, sampler, key, samples: int):
+        d = jax.lax.axis_index(axis)
+        rays9 = gen_rays9_blocks(
+            sampler,
+            jax.random.fold_in(key, d),
+            d * B_loc,
+            block_count=B_loc,
+            wc=wc,
+            px_block=px_block,
+            samples=samples,
+        )
+        kh = trace_scene(scene, rays9, stack_size=stack_size, interpret=interpret)
+        return _shade_parity_sum(rays9, kh, samples)
+
+    # One compiled program per chunk size; samples_per_packet stays constant
+    # across passes so there is exactly one in practice.
+    cache = {}
+
+    def chunk_fn(samples: int):
+        if samples not in cache:
+            cache[samples] = jax.jit(
+                jax.shard_map(
+                    partial(local_chunk, samples=samples),
+                    mesh=mesh,
+                    in_specs=(P(), P(), P()),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )
+            )
+        return cache[samples]
+
+    def render(scene, sampler, key, spp: int) -> jnp.ndarray:
+        acc = None
+        done = 0
+        chunk_id = 0
+        while done < spp:
+            n = min(samples_per_packet, spp - done)
+            part = chunk_fn(n)(scene, sampler, jax.random.fold_in(key, chunk_id))
+            acc = part if acc is None else acc + part
+            done += n
+            chunk_id += 1
+        img = unpack_frame(acc[:B], width, height, (hc, wc), px_block)
+        return img / spp
+
+    return render

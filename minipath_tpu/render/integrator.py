@@ -142,16 +142,13 @@ def render_tile_sum_bvh_pallas(
     gathers. ``spp`` here is per-pass (the machinery chunks larger sample
     counts); keep ``packet pixels * spp`` within a few thousand rays.
     """
-    from minipath_tpu.render.pallas_kernels import (
-        rays_to_rays9,
-        trace_packets_pallas,
-    )
+    from minipath_tpu.render.pallas_kernels import rays_to_rays9, trace_scene
 
     pix = tile_pixel_packets(tile_origin, tile_shape, packet_shape)  # (nb,bp,2)
     nb, bp = pix.shape[:2]
     pix = jnp.tile(pix, (1, spp, 1))  # sample-major (nb, spp*bp, 2)
     rays = sample_rays(sampler, pix, key)
-    kh = trace_packets_pallas(scene, rays_to_rays9(rays), stack_size=stack_size)
+    kh = trace_scene(scene, rays_to_rays9(rays), stack_size=stack_size)
     dot = jnp.abs(jnp.sum(rays.direction * kh.normal, axis=-1))
     hit = (kh.tri >= 0).astype(jnp.float32)
     shaded = dot * hit
@@ -183,10 +180,7 @@ def render_tile_batch_bvh_pallas(
     worker-thread loop iteration, machinery.rs:70-91). Returns
     ``(K, th, tw, 4)`` RGBA sums over ``spp`` samples.
     """
-    from minipath_tpu.render.pallas_kernels import (
-        rays_to_rays9,
-        trace_packets_pallas,
-    )
+    from minipath_tpu.render.pallas_kernels import rays_to_rays9, trace_scene
 
     K = tile_origins.shape[0]
     base = tile_pixel_packets((0.0, 0.0), tile_shape, packet_shape)  # (nb,bp,2)
@@ -200,7 +194,7 @@ def render_tile_batch_bvh_pallas(
         lambda k: jax.vmap(lambda j: jax.random.fold_in(k, j))(jnp.arange(nb))
     )(keys).reshape(K * nb)
     rays = jax.vmap(lambda p, k: sample_rays(sampler, p, k))(pix, pkt_keys)
-    kh = trace_packets_pallas(scene, rays_to_rays9(rays), stack_size=stack_size)
+    kh = trace_scene(scene, rays_to_rays9(rays), stack_size=stack_size)
     dot = jnp.abs(jnp.sum(rays.direction * kh.normal, axis=-1))
     hit = (kh.tri >= 0).astype(jnp.float32)
     shaded = dot * hit

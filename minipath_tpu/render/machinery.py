@@ -129,6 +129,7 @@ def render(
     samples_per_pass: int | None = None,
     tile_rng=None,
     backend: str = "auto",
+    mesh=None,
 ) -> RenderProgress:
     """Start rendering; returns immediately with a :class:`RenderProgress`.
 
@@ -138,6 +139,11 @@ def render(
 
     ``backend``: "pallas" (TPU kernel), "xla" (portable engine), or "auto"
     (pallas on accelerators, xla on CPU).
+
+    ``mesh``: an optional 1-D ``jax.sharding.Mesh``; tile batches are then
+    sharded across its devices with ``shard_map`` (scene replicated, tiles
+    split). Per-tile RNG keys are derived from GLOBAL tile indices, so the
+    sharded render produces bit-identical images to the single-device one.
     """
     width, height = settings.resolution
     # The render dispatch shape is padded up to packet multiples; edge tiles
@@ -220,6 +226,36 @@ def render(
     base_key = jax.random.key(seed)
 
     tiles_per_dispatch = max(1, min(64, len(tiles)))
+    if mesh is not None:
+        # Shard each dispatch's tile batch over the device mesh: replicated
+        # scene (closed over), tiles split on the batch dim. This is the
+        # chip-level analog of the reference's per-core tile pulling
+        # (machinery.rs:31-62,205-210) with static instead of dynamic
+        # assignment.
+        from jax.sharding import PartitionSpec as P
+
+        ax = mesh.axis_names[0]
+        n_dev = int(mesh.devices.size)
+        tiles_per_dispatch = -(-tiles_per_dispatch // n_dev) * n_dev
+        inner_tile_batch = tile_batch
+        _sharded_cache = {}
+
+        def tile_batch(origins, indices, key, spp):
+            if spp not in _sharded_cache:
+
+                def local(o, i, k):
+                    return inner_tile_batch(o, i, k, spp)
+
+                _sharded_cache[spp] = jax.jit(
+                    jax.shard_map(
+                        local,
+                        mesh=mesh,
+                        in_specs=(P(ax), P(ax), P()),
+                        out_specs=P(ax),
+                        check_vma=False,
+                    )
+                )
+            return _sharded_cache[spp](origins, indices, key)
 
     @jax.jit
     def finalize_u8(acc):

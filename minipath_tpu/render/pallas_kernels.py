@@ -32,6 +32,30 @@ from minipath_tpu.scene.bvh.build import BvhArrays
 
 _NULL = L.NULL_LINK
 
+# Batcher sorting network on 8 inputs (19 comparators). Both kernels order
+# children by DESCENDING packet-entry distance so the nearest child pops
+# first — front-to-back traversal tightens best_t early (the reference
+# pushes in lane order, ray_bvh_intersection.rs:158).
+_BATCHER_PAIRS = (
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6), (0, 4), (3, 7),
+    (1, 5), (2, 6), (1, 4), (3, 6),
+    (2, 4), (3, 5), (3, 4),
+)
+
+
+def _sort_children_desc(keys, payloads):
+    """Sort per-child scalar ``keys`` (list of 8) descending, applying the
+    same permutation to every list in ``payloads``. In-place on the lists."""
+    for (a, b) in _BATCHER_PAIRS:
+        swap = keys[a] < keys[b]
+        rows = [keys] + payloads
+        for r in rows:
+            ra = jnp.where(swap, r[b], r[a])
+            rb = jnp.where(swap, r[a], r[b])
+            r[a], r[b] = ra, rb
+
 
 class KernelHits(NamedTuple):
     """Kernel trace output (everything an integrator needs, no gathers)."""
@@ -119,9 +143,10 @@ def prepare_scene(bvh: BvhArrays) -> PallasScene:
     if scene.vmem_bytes() > budget:
         raise ValueError(
             f"scene needs ~{scene.vmem_bytes()/1e6:.0f} MB of VMEM, over the "
-            f"kernel budget ({budget/1e6:.0f} MB); the scene is too large for "
-            "VMEM-resident traversal (~1.2M triangles max). Use the portable "
-            "XLA engine (render backend='xla') or split the scene."
+            f"kernel budget ({budget/1e6:.0f} MB) for the f32 layout. Use the "
+            "16-bit quantized layout (prepare_scene_quantized — half the "
+            "footprint; TriangleBvh.pallas_scene falls back to it "
+            "automatically) or the portable XLA engine (backend='xla')."
         )
     return scene
 
@@ -216,25 +241,7 @@ def _traverse_kernel(
                 child_links.append(jnp.where(push, clink, _NULL))
                 child_tmin.append(jnp.where(push, tmin, jnp.inf))
 
-            # Sorting network (Batcher, 8 inputs, 19 comparators): order
-            # children by DESCENDING entry distance so the nearest child is
-            # popped first — front-to-back traversal tightens best_t early
-            # (the reference pushes in lane order, ray_bvh_intersection.rs:158).
-            pairs = [
-                (0, 1), (2, 3), (4, 5), (6, 7),
-                (0, 2), (1, 3), (4, 6), (5, 7),
-                (1, 2), (5, 6), (0, 4), (3, 7),
-                (1, 5), (2, 6), (1, 4), (3, 6),
-                (2, 4), (3, 5), (3, 4),
-            ]
-            for (a, b) in pairs:
-                swap = child_tmin[a] < child_tmin[b]  # descending
-                ta = jnp.where(swap, child_tmin[b], child_tmin[a])
-                tb = jnp.where(swap, child_tmin[a], child_tmin[b])
-                la = jnp.where(swap, child_links[b], child_links[a])
-                lb = jnp.where(swap, child_links[a], child_links[b])
-                child_tmin[a], child_tmin[b] = ta, tb
-                child_links[a], child_links[b] = la, lb
+            _sort_children_desc(child_tmin, [child_links])
 
             for c in range(8):
                 clink = child_links[c]
@@ -497,3 +504,437 @@ def intersect_bvh_pallas(
         overflow=jnp.sum(kh.overflow),
     )
     return finalize_hits(bvh, rays, result)
+
+
+# ---------------------------------------------------------------------------
+# Quantized-scene kernel: u16 boxes/vertices + i8 normals, half the VMEM
+# ---------------------------------------------------------------------------
+
+_INV_U16 = np.float32(1.0 / 65535.0)
+_INV_127 = np.float32(1.0 / 127.0)
+
+
+class QuantizedPallasScene(NamedTuple):
+    """Packed 16-bit scene (layout: ``scene/bvh/quantize.py`` docstring): one
+    128-lane i32 row per node and per triangle packet — half the VMEM of
+    :class:`PallasScene`, so roughly twice the on-chip scene capacity.
+    Counterpart of the reference's in-traversal compressed storage
+    (``compressed_geometry.rs:20-163``): the hot loop reads ONLY quantized
+    data and decompresses per visit."""
+
+    node_q: jnp.ndarray  # (N, 32) i32
+    tri_q: jnp.ndarray  # (M, 64) i32
+    root: jnp.ndarray  # (1, 1) i32
+    root_box: jnp.ndarray  # (1, 6) f32
+
+    def vmem_bytes(self) -> int:
+        """Kernel VMEM window (rows pad to 128 lanes)."""
+        return (self.node_q.shape[0] + self.tri_q.shape[0]) * 128 * 4
+
+
+VMEM_BUDGET = 100 * 1024 * 1024  # must match CompilerParams below
+
+
+def prepare_scene_quantized(bvh: BvhArrays) -> QuantizedPallasScene:
+    """Hierarchically quantize BvhArrays into the kernel layout."""
+    from minipath_tpu.scene.bvh.quantize import build_quantized_scene
+
+    qs = build_quantized_scene(bvh)
+    scene = QuantizedPallasScene(
+        node_q=jnp.asarray(qs.node_q),
+        tri_q=jnp.asarray(qs.tri_q),
+        root=jnp.asarray(qs.root),
+        root_box=jnp.asarray(qs.root_box),
+    )
+    if scene.vmem_bytes() > VMEM_BUDGET:
+        raise ValueError(
+            f"quantized scene needs ~{scene.vmem_bytes()/1e6:.0f} MB of VMEM, "
+            f"over the kernel budget ({VMEM_BUDGET/1e6:.0f} MB); the scene is "
+            "too large even for quantized VMEM-resident traversal (which "
+            "carries ~2x the f32 layout's triangles). Use the portable XLA "
+            "engine (render backend='xla') or split the scene."
+        )
+    return scene
+
+
+def _traverse_kernel_q(
+    root_ref,  # SMEM (1, 1) i32
+    root_box_ref,  # SMEM (1, 6) f32
+    node_ref,  # VMEM (N, 32) i32 — packed u16 child boxes + links
+    tri_ref,  # VMEM (M, 64) i32 — packed u16 verts + u16 mats + i8 normals
+    rays_ref,  # VMEM (1, 9, S, 128) f32
+    t_ref,
+    tri_out_ref,
+    nx_ref,
+    ny_ref,
+    nz_ref,
+    mat_out_ref,
+    ovf_ref,
+    stack_ref,  # SMEM (S,) i32 — encoded links
+    stack_t_ref,  # SMEM (S,) f32 — packet-min entry distance
+    stack_w_ref,  # SMEM (S, 3) i32 — entry's packed box (parent-frame u16)
+    stack_pb_ref,  # SMEM (S, 6) f32 — parent frame box
+    *,
+    t_max: float,
+    stack_size: int,
+):
+    """Same traversal as :func:`_traverse_kernel`, but every stack entry
+    carries its quantized box plus the parent frame (the reference's
+    ``StackCache`` shape: link + parent box + entry distance,
+    ``ray_bvh_intersection.rs:19-23``), and node/triangle records are
+    decompressed in-kernel (``ray_bvh_intersection.rs:104-163``)."""
+    S, LANES = rays_ref.shape[2], rays_ref.shape[3]
+    ox = rays_ref[0, 0]
+    oy = rays_ref[0, 1]
+    oz = rays_ref[0, 2]
+    dx = rays_ref[0, 3]
+    dy = rays_ref[0, 4]
+    dz = rays_ref[0, 5]
+    ix = rays_ref[0, 6]
+    iy = rays_ref[0, 7]
+    iz = rays_ref[0, 8]
+
+    def u16lo(w):
+        return (w & 0xFFFF).astype(jnp.float32)
+
+    def u16hi(w):
+        return ((w >> 16) & 0xFFFF).astype(jnp.float32)
+
+    root = root_ref[0, 0]
+    stack_ref[0] = root
+    stack_t_ref[0] = 0.0
+    # Root pseudo-entry: q_min = 0, q_max = 65535 against the root box, so
+    # the root's frame decompresses with the same arithmetic as every other
+    # entry (the builder quantizes the root's children against exactly this
+    # reconstruction — quantize.root_frame).
+    stack_w_ref[0, 0] = jnp.int32(0)
+    stack_w_ref[0, 1] = jnp.int32(-65536)  # 0xFFFF0000
+    stack_w_ref[0, 2] = jnp.int32(-1)  # 0xFFFFFFFF
+    for k in range(6):
+        stack_pb_ref[0, k] = root_box_ref[0, k]
+
+    def cond(carry):
+        return carry[0] > 0
+
+    def body(carry):
+        sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat = carry
+        link = stack_ref[sp - 1]
+        t_entry = stack_t_ref[sp - 1]
+        w0 = stack_w_ref[sp - 1, 0]
+        w1 = stack_w_ref[sp - 1, 1]
+        w2 = stack_w_ref[sp - 1, 2]
+        p0 = stack_pb_ref[sp - 1, 0]
+        p1 = stack_pb_ref[sp - 1, 1]
+        p2 = stack_pb_ref[sp - 1, 2]
+        p3 = stack_pb_ref[sp - 1, 3]
+        p4 = stack_pb_ref[sp - 1, 4]
+        p5 = stack_pb_ref[sp - 1, 5]
+        sp = sp - 1
+        # Decompress this entry's own box from the parent frame
+        # (RelativeBox8 decompression, compressed_geometry.rs:122-145).
+        psx = (p3 - p0) * _INV_U16
+        psy = (p4 - p1) * _INV_U16
+        psz = (p5 - p2) * _INV_U16
+        bminx = p0 + u16lo(w0) * psx
+        bminy = p1 + u16hi(w0) * psy
+        bminz = p2 + u16lo(w1) * psz
+        bmaxx = p0 + u16hi(w1) * psx
+        bmaxy = p1 + u16lo(w2) * psy
+        bmaxz = p2 + u16hi(w2) * psz
+
+        count = link & L.COUNT_MASK
+        idx = link >> L.COUNT_BITS
+        is_leaf = count != 0
+
+        def inner_case(args):
+            sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
+            row = node_ref[idx]  # (32,) i32
+            msx = (bmaxx - bminx) * _INV_U16
+            msy = (bmaxy - bminy) * _INV_U16
+            msz = (bmaxz - bminz) * _INV_U16
+            child_links = []
+            child_tmin = []
+            cw0s, cw1s, cw2s = [], [], []
+            for c in range(8):
+                cw0 = row[3 * c]
+                cw1 = row[3 * c + 1]
+                cw2 = row[3 * c + 2]
+                cminx = bminx + u16lo(cw0) * msx
+                cminy = bminy + u16hi(cw0) * msy
+                cminz = bminz + u16lo(cw1) * msz
+                cmaxx = bminx + u16hi(cw1) * msx
+                cmaxy = bminy + u16lo(cw2) * msy
+                cmaxz = bminz + u16hi(cw2) * msz
+                # Slab test with the reference's NaN rule (aabb.rs:254-284).
+                tx0 = (cminx - ox) * ix
+                tx1 = (cmaxx - ox) * ix
+                ty0 = (cminy - oy) * iy
+                ty1 = (cmaxy - oy) * iy
+                tz0 = (cminz - oz) * iz
+                tz1 = (cmaxz - oz) * iz
+                tx0 = jnp.where(jnp.isnan(tx0), -jnp.inf, tx0)
+                ty0 = jnp.where(jnp.isnan(ty0), -jnp.inf, ty0)
+                tz0 = jnp.where(jnp.isnan(tz0), -jnp.inf, tz0)
+                tx1 = jnp.where(jnp.isnan(tx1), jnp.inf, tx1)
+                ty1 = jnp.where(jnp.isnan(ty1), jnp.inf, ty1)
+                tz1 = jnp.where(jnp.isnan(tz1), jnp.inf, tz1)
+                t1 = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), 0.0),
+                    jnp.maximum(jnp.minimum(ty0, ty1), jnp.minimum(tz0, tz1)),
+                )
+                t2 = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), best_t),
+                    jnp.minimum(jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)),
+                )
+                clink = row[24 + c]
+                hit = t1 <= t2
+                tmin = jnp.min(jnp.where(hit, t1, jnp.inf))
+                push = jnp.any(hit) & (clink != _NULL)
+                child_links.append(jnp.where(push, clink, _NULL))
+                child_tmin.append(jnp.where(push, tmin, jnp.inf))
+                cw0s.append(cw0)
+                cw1s.append(cw1)
+                cw2s.append(cw2)
+
+            _sort_children_desc(child_tmin, [child_links, cw0s, cw1s, cw2s])
+
+            for c in range(8):
+                clink = child_links[c]
+                push = clink != _NULL
+                fits = sp < stack_size
+                ok = push & fits
+
+                @pl.when(ok)
+                def _():
+                    stack_ref[sp] = clink
+                    stack_t_ref[sp] = child_tmin[c]
+                    stack_w_ref[sp, 0] = cw0s[c]
+                    stack_w_ref[sp, 1] = cw1s[c]
+                    stack_w_ref[sp, 2] = cw2s[c]
+                    # All 8 children share this node's box as their frame.
+                    stack_pb_ref[sp, 0] = bminx
+                    stack_pb_ref[sp, 1] = bminy
+                    stack_pb_ref[sp, 2] = bminz
+                    stack_pb_ref[sp, 3] = bmaxx
+                    stack_pb_ref[sp, 4] = bmaxy
+                    stack_pb_ref[sp, 5] = bmaxz
+
+                sp = sp + ok.astype(jnp.int32)
+                ovf = ovf + (push & ~fits).astype(jnp.int32)
+            return sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat
+
+        def leaf_case(args):
+            sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
+            # The leaf's triangles are quantized against the leaf's own
+            # decompressed box (RelativeTriangle8, :147-163).
+            lsx = (bmaxx - bminx) * _INV_U16
+            lsy = (bmaxy - bminy) * _INV_U16
+            lsz = (bmaxz - bminz) * _INV_U16
+
+            def packet_body(j, pc):
+                best_t, best_tri, bnx, bny, bnz, bmat = pc
+                pidx = idx + j
+                row = tri_ref[pidx]  # (64,) i32
+
+                def coord(u):  # u: static flat u16 index (0..71)
+                    w = row[u >> 1]
+                    return u16lo(w) if (u & 1) == 0 else u16hi(w)
+
+                def ncomp(bi):  # bi: static flat i8 index (0..71)
+                    w = row[40 + (bi >> 2)]
+                    sh = 8 * (bi & 3)
+                    return ((w << (24 - sh)) >> 24).astype(jnp.float32) * _INV_127
+
+                for lane in range(8):
+                    b = lane * 9
+                    v0x = bminx + coord(b + 0) * lsx
+                    v0y = bminy + coord(b + 1) * lsy
+                    v0z = bminz + coord(b + 2) * lsz
+                    e1x = bminx + coord(b + 3) * lsx - v0x
+                    e1y = bminy + coord(b + 4) * lsy - v0y
+                    e1z = bminz + coord(b + 5) * lsz - v0z
+                    e2x = bminx + coord(b + 6) * lsx - v0x
+                    e2y = bminy + coord(b + 7) * lsy - v0y
+                    e2z = bminz + coord(b + 8) * lsz - v0z
+                    # Möller–Trumbore, two-sided (triangle.rs:187-216).
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv_det = 1.0 / det
+                    sx = ox - v0x
+                    sy = oy - v0y
+                    sz = oz - v0z
+                    u = inv_det * (sx * px + sy * py + sz * pz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = inv_det * (dx * qx + dy * qy + dz * qz)
+                    t = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = (
+                        (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (t >= 0.0)
+                        & (t < best_t)
+                    )
+                    best_tri = jnp.where(
+                        ok, pidx * L.LEAF_NODE_PACKET_SIZE + lane, best_tri
+                    )
+                    best_t = jnp.where(ok, t, best_t)
+                    # i8 shading normals, interpolated + normalized
+                    # (ray_bvh_intersection.rs:76-85).
+                    n0x, n0y, n0z = ncomp(b + 0), ncomp(b + 1), ncomp(b + 2)
+                    n1x, n1y, n1z = ncomp(b + 3), ncomp(b + 4), ncomp(b + 5)
+                    n2x, n2y, n2z = ncomp(b + 6), ncomp(b + 7), ncomp(b + 8)
+                    w = 1.0 - u - v
+                    nx = n0x * w + n1x * u + n2x * v
+                    ny = n0y * w + n1y * u + n2y * v
+                    nz = n0z * w + n1z * u + n2z * v
+                    inv_len = jax.lax.rsqrt(
+                        jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
+                    )
+                    bnx = jnp.where(ok, nx * inv_len, bnx)
+                    bny = jnp.where(ok, ny * inv_len, bny)
+                    bnz = jnp.where(ok, nz * inv_len, bnz)
+                    mw = row[36 + (lane >> 1)]
+                    mat_val = (mw >> (16 * (lane & 1))) & 0xFFFF
+                    bmat = jnp.where(ok, mat_val, bmat)
+                return best_t, best_tri, bnx, bny, bnz, bmat
+
+            best_t, best_tri, bnx, bny, bnz, bmat = jax.lax.fori_loop(
+                0, count, packet_body, (best_t, best_tri, bnx, bny, bnz, bmat)
+            )
+            max_best = jnp.max(best_t)
+            return sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat
+
+        def skip_case(args):
+            return args
+
+        live = t_entry <= max_best
+        return jax.lax.cond(
+            live,
+            lambda args: jax.lax.cond(is_leaf, leaf_case, inner_case, args),
+            skip_case,
+            (sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat),
+        )
+
+    best_t0 = jnp.full((S, LANES), t_max, jnp.float32)
+    best_tri0 = jnp.full((S, LANES), -1, jnp.int32)
+    zeros = jnp.zeros((S, LANES), jnp.float32)
+    sp0 = jnp.where(root == _NULL, 0, 1).astype(jnp.int32)
+    _, ovf, _, best_t, best_tri, bnx, bny, bnz, bmat = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            sp0,
+            jnp.int32(0),
+            jnp.float32(t_max),
+            best_t0,
+            best_tri0,
+            zeros,
+            zeros,
+            zeros,
+            jnp.zeros((S, LANES), jnp.int32),
+        ),
+    )
+    t_ref[0] = best_t
+    tri_out_ref[0] = best_tri
+    nx_ref[0] = bnx
+    ny_ref[0] = bny
+    nz_ref[0] = bnz
+    mat_out_ref[0] = bmat
+    ovf_ref[0] = jnp.full((1, LANES), ovf, jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stack_size", "t_max", "interpret")
+)
+def trace_packets_pallas_q(
+    scene: QuantizedPallasScene,
+    rays9: jnp.ndarray,  # (B, 9, P//128, 128) f32
+    *,
+    stack_size: int = 96,
+    t_max: float = np.inf,
+    interpret: bool = False,
+):
+    """Quantized-scene variant of :func:`trace_packets_pallas`; same
+    :class:`KernelHits` contract (results differ from the f32 path only by
+    quantization error: t within ~box/65535, normals within i8 precision)."""
+    B, _, S, LANES = rays9.shape
+    P = S * LANES
+    kernel = functools.partial(
+        _traverse_kernel_q, t_max=float(t_max), stack_size=int(stack_size)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # root (1, 1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # root_box (1, 6)
+            pl.BlockSpec(
+                scene.node_q.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                scene.tri_q.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 9, S, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ]
+        * 6
+        + [
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((stack_size,), jnp.int32),
+            pltpu.SMEM((stack_size,), jnp.float32),
+            pltpu.SMEM((stack_size, 3), jnp.int32),
+            pltpu.SMEM((stack_size, 6), jnp.float32),
+        ],
+    )
+    best_t, best_tri, nx, ny, nz, mat, ovf = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        scene.root,
+        scene.root_box,
+        scene.node_q,
+        scene.tri_q,
+        rays9,
+    )
+    return KernelHits(
+        t=best_t.reshape(B, P),
+        tri=best_tri.reshape(B, P),
+        normal=jnp.stack(
+            [nx.reshape(B, P), ny.reshape(B, P), nz.reshape(B, P)], axis=-1
+        ),
+        material=mat.reshape(B, P),
+        overflow=ovf[:, 0, 0],
+    )
+
+
+def trace_scene(scene, rays9, *, stack_size: int, t_max: float = np.inf, interpret: bool = False):
+    """Dispatch a packet trace to the f32 or quantized kernel by scene type."""
+    fn = (
+        trace_packets_pallas_q
+        if isinstance(scene, QuantizedPallasScene)
+        else trace_packets_pallas
+    )
+    return fn(scene, rays9, stack_size=stack_size, t_max=t_max, interpret=interpret)

@@ -27,7 +27,7 @@ from minipath_tpu.parallel.mesh import gen_frame_rays9, unpack_frame
 from minipath_tpu.render.pallas_kernels import (
     KernelHits,
     PallasScene,
-    trace_packets_pallas,
+    trace_scene,
 )
 from minipath_tpu.scene.materials import (
     DIELECTRIC,
@@ -160,9 +160,7 @@ def make_pallas_tracer(
         r9 = jnp.concatenate([origin, direction, inv_direction], axis=-1)
         r9 = jnp.swapaxes(r9.reshape(B, packet_size, 9), 1, 2)
         r9 = r9.reshape(B, 9, packet_size // 128, 128)
-        kh = trace_packets_pallas(
-            state, r9, stack_size=stack_size, interpret=interpret
-        )
+        kh = trace_scene(state, r9, stack_size=stack_size, interpret=interpret)
         return KernelHits(
             t=kh.t.reshape(Np)[:N],
             tri=kh.tri.reshape(Np)[:N],

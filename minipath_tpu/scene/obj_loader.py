@@ -126,3 +126,34 @@ def load_obj(path) -> MeshData:
         normals=np.asarray(out_normal, np.float32).reshape(-1, 3),
         texcoords=np.asarray(out_tex, np.float32).reshape(-1, 3),
     )
+
+
+def save_obj(path, mesh: MeshData) -> None:
+    """Write a MeshData as a Wavefront OBJ (v/vn/vt + unified-index faces).
+
+    Inverse of :func:`load_obj` for round-tripping scenes through the real
+    asset pipeline (benchmarks load their procedural stand-ins from disk so
+    the OBJ path is what gets measured).
+    """
+    import io
+
+    buf = io.StringIO()
+    has_n = bool(mesh.normals.size)
+    has_t = bool(mesh.texcoords.size)
+    for p in mesh.positions:
+        buf.write(f"v {p[0]:.7g} {p[1]:.7g} {p[2]:.7g}\n")
+    if has_n:
+        for n in mesh.normals:
+            buf.write(f"vn {n[0]:.7g} {n[1]:.7g} {n[2]:.7g}\n")
+    if has_t:
+        for t in mesh.texcoords:
+            buf.write(f"vt {t[0]:.7g} {t[1]:.7g}\n")
+    for tri in mesh.triangles + 1:  # OBJ indices are 1-based
+        if has_n and has_t:
+            buf.write(f"f {tri[0]}/{tri[0]}/{tri[0]} {tri[1]}/{tri[1]}/{tri[1]} {tri[2]}/{tri[2]}/{tri[2]}\n")
+        elif has_n:
+            buf.write(f"f {tri[0]}//{tri[0]} {tri[1]}//{tri[1]} {tri[2]}//{tri[2]}\n")
+        else:
+            buf.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")
+    with open(path, "w") as f:
+        f.write(buf.getvalue())

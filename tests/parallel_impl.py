@@ -59,6 +59,88 @@ def case_sharded_matches_single():
     assert close.mean() > 0.99, f"only {close.mean():.3%} of solid pixels agree"
 
 
+def case_sharded_pallas_frame():
+    """The PRODUCTION (Pallas-kernel) frame renderer sharded over 8 devices
+    matches the single-device render (interpret-mode kernel on CPU), for
+    both the f32 and the quantized scene layouts."""
+    import numpy as np
+    import jax
+
+    from minipath_tpu.camera import Camera
+    from minipath_tpu.parallel.mesh import make_device_mesh
+    from minipath_tpu.render.frame import (
+        make_frame_renderer_sharded,
+        render_frame_pallas,
+    )
+    from minipath_tpu.render.pallas_kernels import (
+        prepare_scene,
+        prepare_scene_quantized,
+    )
+    from minipath_tpu.scene.procedural import make_uv_sphere
+    from minipath_tpu.scene.triangle_bvh import TriangleBvh
+
+    obj = TriangleBvh.build(make_uv_sphere(1.0, rings=12, segments=20))
+    camera = Camera().look_at((0, 0, 4), (0, 0, 0)).f_number(16.0)
+    w = h = 48
+    spp = 4
+    sampler = camera.build_sampler((w, h))
+    key = jax.random.key(3)
+    stack = obj.recommended_stack_size
+    mesh = make_device_mesh(8)
+
+    for scene in [prepare_scene(obj.arrays), prepare_scene_quantized(obj.host_arrays)]:
+        single = np.asarray(
+            render_frame_pallas(
+                obj.arrays, sampler, key,
+                width=w, height=h, spp=spp, stack_size=stack,
+                px_block=(16, 16), samples_per_packet=spp,
+                scene=scene, interpret=True,
+            )
+        )
+        renderer = make_frame_renderer_sharded(
+            mesh, width=w, height=h, stack_size=stack,
+            px_block=(16, 16), samples_per_packet=spp, interpret=True,
+        )
+        sharded = np.asarray(renderer(scene, sampler, key, spp))
+        assert sharded.shape == single.shape == (h, w, 4)
+        assert np.isfinite(sharded).all()
+        # Different RNG folds per shard => compare Monte Carlo statistics.
+        assert abs(single[..., 3].mean() - sharded[..., 3].mean()) < 0.05
+        solid = (single[..., 3] == 1.0) & (sharded[..., 3] == 1.0)
+        assert solid.mean() > 0.2
+        a, b = single[..., 0][solid], sharded[..., 0][solid]
+        close = np.abs(a - b) <= 0.06 + 0.15 * np.abs(b)
+        assert close.mean() > 0.99, f"only {close.mean():.3%} agree"
+
+
+def case_machinery_mesh_identical():
+    """render(..., mesh=...) must produce a BIT-IDENTICAL image to the
+    single-device render (per-tile keys come from global tile indices)."""
+    import numpy as np
+    import jax
+
+    from minipath_tpu.camera import Camera
+    from minipath_tpu.parallel.mesh import make_device_mesh
+    from minipath_tpu.render.machinery import RenderSettings, render
+    from minipath_tpu.scene import Scene
+    from minipath_tpu.scene.procedural import make_uv_sphere
+    from minipath_tpu.scene.triangle_bvh import TriangleBvh
+
+    obj = TriangleBvh.build(make_uv_sphere(1.0, rings=12, segments=20))
+    camera = Camera().look_at((0, 0, 4), (0, 0, 0)).f_number(16.0)
+    settings = RenderSettings(tile_size=32, sample_count=2, resolution=(96, 64))
+    import numpy.random as npr
+
+    p1 = render(Scene(obj), camera, settings, seed=5, backend="xla",
+                tile_rng=npr.default_rng(0))
+    p1.wait()
+    mesh = make_device_mesh(8)
+    p2 = render(Scene(obj), camera, settings, seed=5, backend="xla",
+                tile_rng=npr.default_rng(0), mesh=mesh)
+    p2.wait()
+    np.testing.assert_array_equal(p1.image(), p2.image())
+
+
 def case_graft_multichip():
     import __graft_entry__ as g
 

@@ -81,3 +81,11 @@ def test_graft_entry_single_chip():
 
 def test_graft_entry_multichip():
     _run_case("graft_multichip")
+
+
+def test_sharded_pallas_frame_renderer():
+    _run_case("sharded_pallas_frame")
+
+
+def test_machinery_mesh_identical():
+    _run_case("machinery_mesh_identical")
