@@ -153,6 +153,7 @@ def prepare_scene(bvh: BvhArrays) -> PallasScene:
 
 def _traverse_kernel(
     root_ref,  # SMEM (1, 1) i32
+    live_ref,  # SMEM (1, 1) i32 — packets with grid index >= this are dead
     node_box_ref,  # VMEM (N, 48) f32
     node_links_ref,  # VMEM (N, 8) i32
     tri_ref,  # VMEM (M, 80) f32 — v0,e1,e2 per lane + material ids [72:80]
@@ -186,6 +187,10 @@ def _traverse_kernel(
     root = root_ref[0, 0]
     stack_ref[0] = root
     stack_t_ref[0] = 0.0
+    # Wavefront early-exit: packets past the live prefix (dead rays sorted
+    # to the back by compaction) skip traversal entirely and just write
+    # miss outputs.
+    live = pl.program_id(0) < live_ref[0, 0]
 
     def cond(carry):
         sp = carry[0]
@@ -346,7 +351,7 @@ def _traverse_kernel(
     best_t0 = jnp.full((S, LANES), t_max, jnp.float32)
     best_tri0 = jnp.full((S, LANES), -1, jnp.int32)
     zeros = jnp.zeros((S, LANES), jnp.float32)
-    sp0 = jnp.where(root == _NULL, 0, 1).astype(jnp.int32)
+    sp0 = jnp.where((root == _NULL) | ~live, 0, 1).astype(jnp.int32)
     _, ovf, _, best_t, best_tri, bnx, bny, bnz, bmat = jax.lax.while_loop(
         cond,
         body,
@@ -381,6 +386,7 @@ def trace_packets_pallas(
     stack_size: int = 96,
     t_max: float = np.inf,
     interpret: bool = False,
+    live_packets=None,  # traced scalar: packets past it skip traversal
 ):
     """Returns a :class:`KernelHits` with ``(B, P)`` fields.
 
@@ -389,17 +395,24 @@ def trace_packets_pallas(
     triangle's material id.
 
     ``rays9`` is ``(B, 9, P//128, 128)`` (see :func:`rays_to_rays9`).
+    ``live_packets`` (optional, traced) enables the wavefront early-exit:
+    grid programs with index >= it write miss outputs without traversing
+    (dead rays compacted to the back cost nothing).
     """
     B, _, S, LANES = rays9.shape
     P = S * LANES
     kernel = functools.partial(
         _traverse_kernel, t_max=float(t_max), stack_size=int(stack_size)
     )
+    if live_packets is None:
+        live_packets = B
+    live = jnp.asarray(live_packets, jnp.int32).reshape(1, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # root (1,1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # live_packets (1,1)
             pl.BlockSpec(
                 scene.node_box.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -449,6 +462,7 @@ def trace_packets_pallas(
         interpret=interpret,
     )(
         scene.root,
+        live,
         scene.node_box,
         scene.node_links,
         scene.tri_data,
@@ -559,6 +573,7 @@ def prepare_scene_quantized(bvh: BvhArrays) -> QuantizedPallasScene:
 
 def _traverse_kernel_q(
     root_ref,  # SMEM (1, 1) i32
+    live_ref,  # SMEM (1, 1) i32 — packets with grid index >= this are dead
     root_box_ref,  # SMEM (1, 6) f32
     node_ref,  # VMEM (N, 32) i32 — packed u16 child boxes + links
     tri_ref,  # VMEM (M, 64) i32 — packed u16 verts + u16 mats + i8 normals
@@ -612,6 +627,8 @@ def _traverse_kernel_q(
     stack_w_ref[0, 2] = jnp.int32(-1)  # 0xFFFFFFFF
     for k in range(6):
         stack_pb_ref[0, k] = root_box_ref[0, k]
+    # Wavefront early-exit (see _traverse_kernel).
+    live = pl.program_id(0) < live_ref[0, 0]
 
     def cond(carry):
         return carry[0] > 0
@@ -822,7 +839,7 @@ def _traverse_kernel_q(
     best_t0 = jnp.full((S, LANES), t_max, jnp.float32)
     best_tri0 = jnp.full((S, LANES), -1, jnp.int32)
     zeros = jnp.zeros((S, LANES), jnp.float32)
-    sp0 = jnp.where(root == _NULL, 0, 1).astype(jnp.int32)
+    sp0 = jnp.where((root == _NULL) | ~live, 0, 1).astype(jnp.int32)
     _, ovf, _, best_t, best_tri, bnx, bny, bnz, bmat = jax.lax.while_loop(
         cond,
         body,
@@ -857,6 +874,7 @@ def trace_packets_pallas_q(
     stack_size: int = 96,
     t_max: float = np.inf,
     interpret: bool = False,
+    live_packets=None,  # traced scalar: packets past it skip traversal
 ):
     """Quantized-scene variant of :func:`trace_packets_pallas`; same
     :class:`KernelHits` contract (results differ from the f32 path only by
@@ -866,11 +884,15 @@ def trace_packets_pallas_q(
     kernel = functools.partial(
         _traverse_kernel_q, t_max=float(t_max), stack_size=int(stack_size)
     )
+    if live_packets is None:
+        live_packets = B
+    live = jnp.asarray(live_packets, jnp.int32).reshape(1, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # root (1, 1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # live_packets (1, 1)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # root_box (1, 6)
             pl.BlockSpec(
                 scene.node_q.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -914,6 +936,7 @@ def trace_packets_pallas_q(
         interpret=interpret,
     )(
         scene.root,
+        live,
         scene.root_box,
         scene.node_q,
         scene.tri_q,
@@ -930,11 +953,18 @@ def trace_packets_pallas_q(
     )
 
 
-def trace_scene(scene, rays9, *, stack_size: int, t_max: float = np.inf, interpret: bool = False):
+def trace_scene(scene, rays9, *, stack_size: int, t_max: float = np.inf, interpret: bool = False, live_packets=None):
     """Dispatch a packet trace to the f32 or quantized kernel by scene type."""
     fn = (
         trace_packets_pallas_q
         if isinstance(scene, QuantizedPallasScene)
         else trace_packets_pallas
     )
-    return fn(scene, rays9, stack_size=stack_size, t_max=t_max, interpret=interpret)
+    return fn(
+        scene,
+        rays9,
+        stack_size=stack_size,
+        t_max=t_max,
+        interpret=interpret,
+        live_packets=live_packets,
+    )

@@ -143,7 +143,7 @@ def make_pallas_tracer(
     """
     assert packet_size % 128 == 0, packet_size
 
-    def tracer(state: PallasScene, origin, direction, inv_direction):
+    def tracer(state: PallasScene, origin, direction, inv_direction, live_rays=None):
         N = origin.shape[0]
         # Pad the ray stream up to a whole number of packets by repeating
         # the tail rays (coherent with their packet, so the duplicate lanes
@@ -157,10 +157,24 @@ def make_pallas_tracer(
                 [inv_direction, inv_direction[pad]], axis=0
             )
         B = Np // packet_size
+        # Wavefront early-exit: after compaction the live rays form a
+        # prefix, so packets past ceil(live / packet_size) skip traversal
+        # in-kernel and just report misses.
+        live_packets = None
+        if live_rays is not None:
+            live_packets = (
+                jnp.asarray(live_rays, jnp.int32) + packet_size - 1
+            ) // packet_size
         r9 = jnp.concatenate([origin, direction, inv_direction], axis=-1)
         r9 = jnp.swapaxes(r9.reshape(B, packet_size, 9), 1, 2)
         r9 = r9.reshape(B, 9, packet_size // 128, 128)
-        kh = trace_scene(state, r9, stack_size=stack_size, interpret=interpret)
+        kh = trace_scene(
+            state,
+            r9,
+            stack_size=stack_size,
+            interpret=interpret,
+            live_packets=live_packets,
+        )
         return KernelHits(
             t=kh.t.reshape(Np)[:N],
             tri=kh.tri.reshape(Np)[:N],
@@ -178,7 +192,8 @@ def make_xla_tracer(bvh, *, stack_size: int, packet_size: int = 256):
     from minipath_tpu.geometry.ray import Rays
     from minipath_tpu.render.traversal import finalize_hits, trace_packets
 
-    def tracer(state, origin, direction, inv_direction):
+    def tracer(state, origin, direction, inv_direction, live_rays=None):
+        del live_rays  # the XLA engine runs the whole batch in lockstep
         N = origin.shape[0]
         B = N // packet_size
         rays = Rays(
@@ -208,30 +223,83 @@ class _PathState(NamedTuple):
     active: jnp.ndarray  # (N,) bool
 
 
-def _compact(state: _PathState) -> _PathState:
-    """Coherence-restoring compaction: sort rays by (dead?, direction
-    octant, position cell). Dead rays sink to the back (packets stay full
-    of live rays) and live rays regain the spatial/directional clustering
-    that packet traversal needs — bounced rays in an arbitrary order cost
-    the packet the UNION of every lane's traversal (measured 0.5 Mrays/s
-    fully scrambled vs ~210 coherent on the atrium; octant+cell sorting
-    recovers ~4x and real bounce distributions much more)."""
+def _direction_bin(d: jnp.ndarray) -> jnp.ndarray:
+    """Direction -> one of 96 bins: 6 dominant-axis faces x 4x4 quantized
+    minor components. Finer than octants: a bin spans a ~28-degree cone
+    instead of 90 degrees, which is what bounds the BVH frustum a sorted
+    packet traverses (measured 3.3 vs 2.2 Mrays/s on bounce-1 rays vs
+    octant binning, tools/sweep_pt2.py)."""
+    ax = jnp.argmax(jnp.abs(d), axis=-1)
+    major = jnp.take_along_axis(d, ax[:, None], -1)[:, 0]
+    face = ax.astype(jnp.int32) * 2 + (major > 0)
+    inv_major = 1.0 / jnp.maximum(jnp.abs(major), 1e-9)
+    m1 = jnp.take_along_axis(d, ((ax + 1) % 3)[:, None], -1)[:, 0] * inv_major
+    m2 = jnp.take_along_axis(d, ((ax + 2) % 3)[:, None], -1)[:, 0] * inv_major
+    q1 = jnp.clip(((m1 + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+    q2 = jnp.clip(((m2 + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+    return (face << 4) | (q1 << 2) | q2  # 0..95
+
+
+def _morton16(cell: jnp.ndarray) -> jnp.ndarray:
+    """Interleave three 4-bit cell coordinates into a 12-bit Morton code —
+    spatially adjacent cells stay adjacent in sort order (raster order puts
+    whole planes between neighbors)."""
+    out = jnp.zeros_like(cell[:, 0])
+    for b in range(4):
+        for ax in range(3):
+            out = out | (((cell[:, ax] >> b) & 1) << (3 * b + (2 - ax)))
+    return out
+
+
+def _compact(state: _PathState, fine_direction: bool = True) -> _PathState:
+    """Coherence-restoring compaction: sort rays by (dead?, direction bin,
+    Morton position cell), direction-major. Dead rays sink to the back —
+    they form a suffix, so the tracer's live-prefix early exit skips whole
+    packets — and live rays regain the directional/spatial clustering that
+    packet traversal needs: bounced rays in an arbitrary order cost the
+    packet the UNION of every lane's traversal (measured 0.5 Mrays/s fully
+    scrambled vs ~210 coherent on the atrium).
+
+    ``fine_direction`` picks the key measured best per bounce depth
+    (tools/sweep_pt3.py on real bounce-k rays): first-bounce directions
+    still correlate with camera-facing surfaces, so 96 direction bins win
+    (3.4 vs 2.2 Mrays/s); deeper bounces are isotropic and coarse octants
+    with better spatial locality win (1.7 vs 0.9 Mrays/s for fine bins).
+
+    State is re-gathered through ONE packed (N, 12) matrix + two small
+    gathers; inv_direction is recomputed (cheaper than gathering it)."""
     o = state.origin
     lo = jnp.min(o, axis=0)
     hi = jnp.max(o, axis=0)
-    scale = 8.0 / jnp.maximum(hi - lo, 1e-6)
-    cell = jnp.clip((o - lo) * scale, 0, 7).astype(jnp.int32)  # (N, 3)
-    cell_id = (cell[:, 0] << 6) | (cell[:, 1] << 3) | cell[:, 2]  # 0..511
-    d = state.direction
-    octant = (
-        (d[:, 0] > 0).astype(jnp.int32) * 4
-        + (d[:, 1] > 0).astype(jnp.int32) * 2
-        + (d[:, 2] > 0).astype(jnp.int32)
-    )
+    scale = 16.0 / jnp.maximum(hi - lo, 1e-6)
+    cell = jnp.clip((o - lo) * scale, 0, 15).astype(jnp.int32)  # (N, 3)
+    cell_id = _morton16(cell)  # 12 bits
+    if fine_direction:
+        dbin = _direction_bin(state.direction)  # 7 bits
+    else:
+        d = state.direction
+        dbin = (
+            (d[:, 0] > 0).astype(jnp.int32) * 4
+            + (d[:, 1] > 0).astype(jnp.int32) * 2
+            + (d[:, 2] > 0).astype(jnp.int32)
+        )
     dead = (~state.active).astype(jnp.int32)
-    key = (dead << 13) | (octant << 9) | cell_id
+    key = (dead << 19) | (dbin << 12) | cell_id
     order = jnp.argsort(key)
-    return _PathState(*(f[order] for f in state))
+    packed = jnp.concatenate(
+        [state.origin, state.direction, state.throughput, state.radiance], axis=-1
+    )[order]
+    d = packed[:, 3:6]
+    inv = jnp.where(d == 0.0, jnp.inf, 1.0 / d)
+    return _PathState(
+        origin=packed[:, 0:3],
+        direction=d,
+        inv_direction=inv,
+        throughput=packed[:, 6:9],
+        radiance=packed[:, 9:12],
+        pixel=state.pixel[order],
+        active=state.active[order],
+    )
 
 
 @partial(
@@ -283,9 +351,15 @@ def _pt_chunk(
     )
 
     for bounce in range(bounces):
+        live = None
         if compaction and bounce > 0:
-            state = _compact(state)
-        kh = tracer(tracer_state, state.origin, state.direction, state.inv_direction)
+            state = _compact(state, fine_direction=bounce == 1)
+            # Dead rays are now a suffix; tell the tracer the live count so
+            # whole-dead packets exit early in-kernel.
+            live = jnp.sum(state.active.astype(jnp.int32))
+        kh = tracer(
+            tracer_state, state.origin, state.direction, state.inv_direction, live
+        )
         hit = (kh.tri >= 0) & state.active
         missed = (~(kh.tri >= 0)) & state.active
 

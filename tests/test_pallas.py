@@ -180,3 +180,59 @@ def test_pallas_in_kernel_shading_matches_finalize(rng):
         want = shade_normal_dot(rays, hits)[..., 0]
         got = dot * (np.asarray(tri) >= 0)
         np.testing.assert_allclose(got, np.asarray(want), atol=2e-5)
+
+
+def test_live_prefix_early_exit(rng):
+    """With live_packets=k, packets [0,k) produce normal results and packets
+    [k,B) report misses without traversing (the wavefront dead-suffix skip)."""
+    mesh = make_random_triangles(600, seed=8)
+    res = build_bvh(mesh)
+    bvh = res.as_device()
+    scene = prepare_scene(bvh)
+    origin = rng.uniform(-12, 12, (4, 128, 3)).astype(np.float32)
+    direction = rng.normal(size=(4, 128, 3)).astype(np.float32)
+    r9 = rays_to_rays9(make_rays(origin, direction))
+    full = trace_packets_pallas(
+        scene, r9, stack_size=res.recommended_stack_size, interpret=True
+    )
+    part = trace_packets_pallas(
+        scene,
+        r9,
+        stack_size=res.recommended_stack_size,
+        interpret=True,
+        live_packets=np.int32(2),
+    )
+    np.testing.assert_array_equal(np.asarray(part.tri)[:2], np.asarray(full.tri)[:2])
+    np.testing.assert_array_equal(np.asarray(part.t)[:2], np.asarray(full.t)[:2])
+    assert (np.asarray(part.tri)[2:] == -1).all()
+
+
+def test_compact_preserves_state_and_sorts_dead_last(rng):
+    from minipath_tpu.render.wavefront import _PathState, _compact
+    import jax.numpy as jnp
+
+    n = 1000
+    o = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    inv = np.where(d == 0, np.inf, 1.0 / d).astype(np.float32)
+    state = _PathState(
+        origin=jnp.asarray(o),
+        direction=jnp.asarray(d),
+        inv_direction=jnp.asarray(inv),
+        throughput=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        radiance=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        pixel=jnp.arange(n, dtype=jnp.int32),
+        active=jnp.asarray(rng.uniform(size=n) < 0.6),
+    )
+    out = _compact(state)
+    perm = np.asarray(out.pixel)  # pixel was identity -> the permutation
+    assert sorted(perm.tolist()) == list(range(n))  # a real permutation
+    for field in ("origin", "direction", "inv_direction", "throughput", "radiance"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, field)),
+            np.asarray(getattr(state, field))[perm],
+            rtol=1e-6,
+        )
+    act = np.asarray(out.active)
+    live = int(act.sum())
+    assert act[:live].all() and not act[live:].any()  # dead is a suffix

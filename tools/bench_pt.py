@@ -5,9 +5,14 @@ The BASELINE.json convergence config ("Sponza 1024 spp: wavefront vs naive
 masked megakernel") realized on the atrium stand-in with materials: measures
 per-frame wall clock for both modes and verifies their estimators agree.
 
+Writes a BENCH-style JSON artifact to BENCH_pt.json at the repo root and
+prints it on stdout.
+
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/bench_pt.py [W H spp]
 """
 
+import json
+import os
 import sys
 import time
 
@@ -102,23 +107,41 @@ def main():
         m = np.asarray(frame(key, compaction))
         print(f"{name} warmup (incl compile): {time.time()-t0:.1f}s mean={m}", flush=True)
         times = []
-        for i in range(2):
+        for i in range(3):
             t0 = time.time()
             m = np.asarray(frame(jax.random.fold_in(key, 10 + i), compaction))
             times.append(time.time() - t0)
-        best = min(times)
+        arr = np.array(times)
         paths = W * H * SPP
-        results[name] = (best, m)
+        results[name] = (arr, m)
         print(
-            f"{name}: {best:.2f}s/frame  {paths/best/1e6:.1f} Mpaths/s "
-            f"({BOUNCES} bounces)  mean_rgb={m.round(4)}",
+            f"{name}: {arr.mean():.2f}s/frame (+-{arr.std():.2f})  "
+            f"{paths/arr.mean()/1e6:.2f} Mpaths/s ({BOUNCES} bounces)  "
+            f"mean_rgb={m.round(4)}",
             flush=True,
         )
     wf, mk = results["wavefront"], results["megakernel"]
+    speedup = mk[0].mean() / wf[0].mean()
+    delta = float(np.abs(wf[1] - mk[1]).max())
     print(
-        f"speedup wavefront vs megakernel: {mk[0]/wf[0]:.2f}x; "
-        f"estimator mean delta: {np.abs(wf[1]-mk[1]).max():.4f}"
+        f"speedup wavefront vs megakernel: {speedup:.2f}x; "
+        f"estimator mean delta: {delta:.4f}"
     )
+    paths = W * H * SPP
+    out = {
+        "metric": f"pt_atrium_{W}x{H}_{SPP}spp_{BOUNCES}bounces",
+        "value": round(paths / wf[0].mean() / 1e6, 3),
+        "unit": "Mpaths/s",
+        "wavefront_mean_s": round(float(wf[0].mean()), 3),
+        "wavefront_std_s": round(float(wf[0].std()), 3),
+        "megakernel_mean_s": round(float(mk[0].mean()), 3),
+        "wavefront_vs_megakernel": round(float(speedup), 2),
+        "estimator_mean_delta": round(delta, 5),
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_pt.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
