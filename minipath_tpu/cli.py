@@ -49,6 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
         "with a sky environment (OBJ scenes get a default gray material)",
     )
     p.add_argument("--bounces", type=int, default=6, help="path-tracer bounce budget")
+    p.add_argument("--devices", type=int, default=1, help="shard the render across N devices (jax.sharding.Mesh); 0 = all available")
     p.add_argument("--no-compaction", action="store_true", help="path tracer: disable wavefront stream compaction (megakernel mode)")
     return p
 
@@ -98,15 +99,25 @@ def main(argv=None) -> int:
         resolution=(args.width, args.height),
     )
 
+    mesh = None
+    if args.devices != 1:
+        import jax
+
+        from minipath_tpu.parallel.mesh import make_device_mesh
+
+        n = args.devices or len(jax.devices())
+        if n > 1:
+            mesh = make_device_mesh(n)
+
     if args.integrator == "pt":
-        return _render_pt(args, bvh, camera)
+        return _render_pt(args, bvh, camera, mesh)
 
     def on_tile(_tile, snapshot):
         if not args.quiet:
             print("\r" + _progress_bar(snapshot.finished, snapshot.total), end="", file=sys.stderr)
 
     t0 = time.time()
-    progress = render(Scene(bvh), camera, settings, finished_tile_callback=on_tile, seed=args.seed)
+    progress = render(Scene(bvh), camera, settings, finished_tile_callback=on_tile, seed=args.seed, mesh=mesh)
     try:
         progress.wait()
     except KeyboardInterrupt:
@@ -131,7 +142,7 @@ def main(argv=None) -> int:
     return 0
 
 
-def _render_pt(args, bvh, camera) -> int:
+def _render_pt(args, bvh, camera, mesh=None) -> int:
     """Path-traced whole-frame render (sky environment, gamma 2.2)."""
     import numpy as np
     import jax
@@ -160,20 +171,41 @@ def _render_pt(args, bvh, camera) -> int:
             packet_size=2048,
         )
     t0 = time.time()
-    img = render_frame_pt(
-        tracer,
-        tracer_state,
-        table,
-        camera.build_sampler((args.width, args.height)),
-        jax.random.key(args.seed),
-        width=args.width,
-        height=args.height,
-        spp=args.spp,
-        bounces=args.bounces,
-        env=Environment.sky(),
-        samples_per_packet=min(8, args.spp),
-        compaction=not args.no_compaction,
-    )
+    if mesh is not None:
+        from minipath_tpu.render.wavefront import make_pt_renderer_sharded
+
+        renderer = make_pt_renderer_sharded(
+            mesh,
+            tracer,
+            width=args.width,
+            height=args.height,
+            samples_per_packet=min(8, args.spp),
+            bounces=args.bounces,
+            compaction=not args.no_compaction,
+        )
+        img = renderer(
+            tracer_state,
+            table,
+            camera.build_sampler((args.width, args.height)),
+            jax.random.key(args.seed),
+            args.spp,
+            env=Environment.sky(),
+        )
+    else:
+        img = render_frame_pt(
+            tracer,
+            tracer_state,
+            table,
+            camera.build_sampler((args.width, args.height)),
+            jax.random.key(args.seed),
+            width=args.width,
+            height=args.height,
+            spp=args.spp,
+            bounces=args.bounces,
+            env=Environment.sky(),
+            samples_per_packet=min(8, args.spp),
+            compaction=not args.no_compaction,
+        )
     a = np.array(img, copy=True)
     elapsed = time.time() - t0
     rays = args.width * args.height * args.spp  # camera rays (bounces extra)

@@ -334,6 +334,26 @@ def _pt_chunk(
     rays9, _ = gen_frame_rays9(
         sampler, key, width=width, height=height, px_block=px_block, samples=samples
     )
+    return _pt_trace(
+        tracer_state, materials, env, rays9, key,
+        tracer=tracer, samples=samples, bounces=bounces, compaction=compaction,
+    )
+
+
+def _pt_trace(
+    tracer_state,
+    materials: MaterialTable,
+    env: Environment,
+    rays9,
+    key,
+    *,
+    tracer,
+    samples: int,
+    bounces: int,
+    compaction: bool,
+):
+    """The bounce loop for an arbitrary camera-ray batch ``rays9``
+    (whole frame or one device's shard). Returns ``(B0, bp, 3)`` sums."""
     B0, _, S, LN = rays9.shape
     P0 = S * LN
     N = B0 * P0
@@ -420,6 +440,95 @@ def _pt_chunk(
     rad = rad.reshape(B0, P0, 3)
     bp = P0 // samples
     return rad.reshape(B0, samples, bp, 3).sum(axis=1)
+
+
+def make_pt_renderer_sharded(
+    mesh,
+    tracer,
+    *,
+    width: int,
+    height: int,
+    px_block=(16, 16),
+    samples_per_packet: int = 8,
+    bounces: int = 6,
+    compaction: bool = True,
+    axis: str = "d",
+):
+    """Multi-chip wavefront path tracer over a 1-D device mesh.
+
+    Each device owns a contiguous range of the frame's packet blocks,
+    generates its camera rays in-jit, and runs the WHOLE bounce loop —
+    including compaction, which stays device-local (rays never migrate
+    between chips, so there are no per-bounce collectives; the only
+    cross-chip traffic is the final image-shard gather). RNG decorrelates
+    by folding the mesh position into the key.
+
+    Returns ``render(tracer_state, materials, sampler, key, spp, env=None)
+    -> (H, W, 4)`` mean image.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    bh, bw = px_block
+    hc, wc = -(-height // bh), -(-width // bw)
+    B = hc * wc
+    n_dev = int(mesh.devices.size)
+    B_pad = -(-B // n_dev) * n_dev
+    B_loc = B_pad // n_dev
+
+    def local_chunk(tracer_state, materials, env, sampler, key, samples: int):
+        d = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(key, d)
+        from minipath_tpu.parallel.mesh import gen_rays9_blocks
+
+        rays9 = gen_rays9_blocks(
+            sampler, key, d * B_loc,
+            block_count=B_loc, wc=wc, px_block=px_block, samples=samples,
+        )
+        return _pt_trace(
+            tracer_state, materials, env, rays9, key,
+            tracer=tracer, samples=samples, bounces=bounces,
+            compaction=compaction,
+        )
+
+    cache = {}
+
+    def chunk_fn(samples: int):
+        if samples not in cache:
+            cache[samples] = jax.jit(
+                jax.shard_map(
+                    partial(local_chunk, samples=samples),
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(), P(), P()),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )
+            )
+        return cache[samples]
+
+    def render(tracer_state, materials, sampler, key, spp: int, env=None):
+        if env is None:
+            env = Environment.sky()
+        acc = None
+        done = 0
+        chunk = 0
+        while done < spp:
+            n = min(samples_per_packet, spp - done)
+            part = chunk_fn(n)(
+                tracer_state, materials, env, sampler,
+                jax.random.fold_in(key, 1000 + chunk),
+            )
+            acc = part if acc is None else acc + part
+            done += n
+            chunk += 1
+        rgb = unpack_frame(
+            jnp.concatenate([acc[:B], jnp.zeros_like(acc[:B, :, :1])], -1),
+            width, height, (hc, wc), px_block,
+        )[..., :3]
+        rgb = rgb / spp
+        alpha = jnp.ones_like(rgb[..., :1])
+        return jnp.concatenate([rgb, alpha], axis=-1)
+
+    return render
 
 
 def render_frame_pt(

@@ -141,6 +141,62 @@ def case_machinery_mesh_identical():
     np.testing.assert_array_equal(p1.image(), p2.image())
 
 
+def case_sharded_pt():
+    """The wavefront path tracer sharded over 8 devices matches the
+    single-device render (XLA tracer on the CPU mesh; estimator means)."""
+    import numpy as np
+    import jax
+
+    from minipath_tpu.camera import Camera
+    from minipath_tpu.parallel.mesh import make_device_mesh
+    from minipath_tpu.render.wavefront import (
+        make_pt_renderer_sharded,
+        make_xla_tracer,
+        render_frame_pt,
+    )
+    from minipath_tpu.scene.materials import (
+        Environment,
+        lambertian,
+        material_table,
+    )
+    from minipath_tpu.scene.procedural import make_uv_sphere
+    from minipath_tpu.scene.triangle_bvh import TriangleBvh
+
+    obj = TriangleBvh.build(make_uv_sphere(1.0, rings=10, segments=16))
+    table = material_table([lambertian((0.6, 0.5, 0.4))])
+    env = Environment.uniform((0.7, 0.8, 1.0))
+    camera = Camera().look_at((0, 0, 4), (0, 0, 0)).f_number(32.0)
+    w = h = 32
+    spp = 8
+    sampler = camera.build_sampler((w, h))
+    key = jax.random.key(9)
+    tracer, tstate = make_xla_tracer(
+        obj.arrays, stack_size=obj.recommended_stack_size, packet_size=256
+    )
+    single = np.asarray(
+        render_frame_pt(
+            tracer, tstate, table, sampler, key,
+            width=w, height=h, spp=spp, bounces=3, env=env,
+            px_block=(16, 16), samples_per_packet=spp,
+        )
+    )
+    mesh = make_device_mesh(8)
+    renderer = make_pt_renderer_sharded(
+        mesh, tracer, width=w, height=h, px_block=(16, 16),
+        samples_per_packet=spp, bounces=3,
+    )
+    sharded = np.asarray(renderer(tstate, table, sampler, key, spp, env=env))
+    assert sharded.shape == single.shape == (h, w, 4)
+    assert np.isfinite(sharded).all()
+    # Decorrelated RNG across shards: compare Monte Carlo means per channel.
+    for c in range(3):
+        a, b = single[..., c].mean(), sharded[..., c].mean()
+        assert abs(a - b) < 0.05, (c, a, b)
+    # Per-pixel agreement within MC noise for most pixels.
+    err = np.abs(single[..., :3] - sharded[..., :3])
+    assert (err < 0.25).mean() > 0.97, float((err < 0.25).mean())
+
+
 def case_graft_multichip():
     import __graft_entry__ as g
 

@@ -89,3 +89,7 @@ def test_sharded_pallas_frame_renderer():
 
 def test_machinery_mesh_identical():
     _run_case("machinery_mesh_identical")
+
+
+def test_sharded_path_tracer():
+    _run_case("sharded_pt")
