@@ -180,9 +180,16 @@ def _traverse_kernel(
     dx = rays_ref[0, 3]
     dy = rays_ref[0, 4]
     dz = rays_ref[0, 5]
-    ix = rays_ref[0, 6]
-    iy = rays_ref[0, 7]
-    iz = rays_ref[0, 8]
+    # Clamping 1/d to +-1e30 removes every 0*inf=NaN case from the slab
+    # test while keeping the reference's semantics (axis-parallel rays
+    # produce +-huge entry/exit values with the correct signs), so the
+    # per-child NaN guards (12 vector ops per child, ~1/3 of the slab cost)
+    # disappear. The portable XLA engine keeps the literal NaN rule of
+    # aabb.rs:254-284; the oracle tests compare the two.
+    BIG = jnp.float32(1e30)
+    ix = jnp.clip(rays_ref[0, 6], -BIG, BIG)
+    iy = jnp.clip(rays_ref[0, 7], -BIG, BIG)
+    iz = jnp.clip(rays_ref[0, 8], -BIG, BIG)
 
     root = root_ref[0, 0]
     stack_ref[0] = root
@@ -215,20 +222,13 @@ def _traverse_kernel(
                 o = c * 6
                 bminx, bminy, bminz = boxes[o + 0], boxes[o + 1], boxes[o + 2]
                 bmaxx, bmaxy, bmaxz = boxes[o + 3], boxes[o + 4], boxes[o + 5]
-                # Slab test with the reference's NaN rule: near-plane NaNs
-                # -> -inf, far-plane NaNs -> +inf (aabb.rs:254-284).
+                # Slab test; NaN-free by construction (inv clamped above).
                 tx0 = (bminx - ox) * ix
                 tx1 = (bmaxx - ox) * ix
                 ty0 = (bminy - oy) * iy
                 ty1 = (bmaxy - oy) * iy
                 tz0 = (bminz - oz) * iz
                 tz1 = (bmaxz - oz) * iz
-                tx0 = jnp.where(jnp.isnan(tx0), -jnp.inf, tx0)
-                ty0 = jnp.where(jnp.isnan(ty0), -jnp.inf, ty0)
-                tz0 = jnp.where(jnp.isnan(tz0), -jnp.inf, tz0)
-                tx1 = jnp.where(jnp.isnan(tx1), jnp.inf, tx1)
-                ty1 = jnp.where(jnp.isnan(ty1), jnp.inf, ty1)
-                tz1 = jnp.where(jnp.isnan(tz1), jnp.inf, tz1)
                 t1 = jnp.maximum(
                     jnp.maximum(jnp.minimum(tx0, tx1), 0.0),
                     jnp.maximum(jnp.minimum(ty0, ty1), jnp.minimum(tz0, tz1)),
@@ -240,7 +240,9 @@ def _traverse_kernel(
                 clink = clinks[c]
                 hit = t1 <= t2
                 tmin = jnp.min(jnp.where(hit, t1, jnp.inf))
-                push = jnp.any(hit) & (clink != _NULL)
+                # tmin == +inf iff no ray hit — reuse the min-reduce instead
+                # of a second any() reduction over the packet.
+                push = (tmin < jnp.inf) & (clink != _NULL)
                 # Dead lanes sort to the front (far-first push order) and
                 # are skipped by the NULL guard at push time.
                 child_links.append(jnp.where(push, clink, _NULL))
@@ -315,10 +317,11 @@ def _traverse_kernel(
                     n0x, n0y, n0z = shade[o + 0], shade[o + 1], shade[o + 2]
                     n1x, n1y, n1z = shade[o + 3], shade[o + 4], shade[o + 5]
                     n2x, n2y, n2z = shade[o + 6], shade[o + 7], shade[o + 8]
-                    w = 1.0 - u - v
-                    nx = n0x * w + n1x * u + n2x * v
-                    ny = n0y * w + n1y * u + n2y * v
-                    nz = n0z * w + n1z * u + n2z * v
+                    # Delta-form interpolation: the deltas are scalar-side,
+                    # saving the vector w = 1-u-v and three vector products.
+                    nx = n0x + u * (n1x - n0x) + v * (n2x - n0x)
+                    ny = n0y + u * (n1y - n0y) + v * (n2y - n0y)
+                    nz = n0z + u * (n1z - n0z) + v * (n2z - n0z)
                     inv_len = jax.lax.rsqrt(
                         jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
                     )
@@ -605,9 +608,11 @@ def _traverse_kernel_q(
     dx = rays_ref[0, 3]
     dy = rays_ref[0, 4]
     dz = rays_ref[0, 5]
-    ix = rays_ref[0, 6]
-    iy = rays_ref[0, 7]
-    iz = rays_ref[0, 8]
+    # NaN-free slab tests: see the matching comment in _traverse_kernel.
+    BIG = jnp.float32(1e30)
+    ix = jnp.clip(rays_ref[0, 6], -BIG, BIG)
+    iy = jnp.clip(rays_ref[0, 7], -BIG, BIG)
+    iz = jnp.clip(rays_ref[0, 8], -BIG, BIG)
 
     def u16lo(w):
         return (w & 0xFFFF).astype(jnp.float32)
@@ -682,19 +687,13 @@ def _traverse_kernel_q(
                 cmaxx = bminx + u16hi(cw1) * msx
                 cmaxy = bminy + u16lo(cw2) * msy
                 cmaxz = bminz + u16hi(cw2) * msz
-                # Slab test with the reference's NaN rule (aabb.rs:254-284).
+                # Slab test; NaN-free by construction (inv clamped above).
                 tx0 = (cminx - ox) * ix
                 tx1 = (cmaxx - ox) * ix
                 ty0 = (cminy - oy) * iy
                 ty1 = (cmaxy - oy) * iy
                 tz0 = (cminz - oz) * iz
                 tz1 = (cmaxz - oz) * iz
-                tx0 = jnp.where(jnp.isnan(tx0), -jnp.inf, tx0)
-                ty0 = jnp.where(jnp.isnan(ty0), -jnp.inf, ty0)
-                tz0 = jnp.where(jnp.isnan(tz0), -jnp.inf, tz0)
-                tx1 = jnp.where(jnp.isnan(tx1), jnp.inf, tx1)
-                ty1 = jnp.where(jnp.isnan(ty1), jnp.inf, ty1)
-                tz1 = jnp.where(jnp.isnan(tz1), jnp.inf, tz1)
                 t1 = jnp.maximum(
                     jnp.maximum(jnp.minimum(tx0, tx1), 0.0),
                     jnp.maximum(jnp.minimum(ty0, ty1), jnp.minimum(tz0, tz1)),
@@ -706,7 +705,8 @@ def _traverse_kernel_q(
                 clink = row[24 + c]
                 hit = t1 <= t2
                 tmin = jnp.min(jnp.where(hit, t1, jnp.inf))
-                push = jnp.any(hit) & (clink != _NULL)
+                # tmin == +inf iff no ray hit (see _traverse_kernel).
+                push = (tmin < jnp.inf) & (clink != _NULL)
                 child_links.append(jnp.where(push, clink, _NULL))
                 child_tmin.append(jnp.where(push, tmin, jnp.inf))
                 cw0s.append(cw0)
@@ -804,10 +804,10 @@ def _traverse_kernel_q(
                     n0x, n0y, n0z = ncomp(b + 0), ncomp(b + 1), ncomp(b + 2)
                     n1x, n1y, n1z = ncomp(b + 3), ncomp(b + 4), ncomp(b + 5)
                     n2x, n2y, n2z = ncomp(b + 6), ncomp(b + 7), ncomp(b + 8)
-                    w = 1.0 - u - v
-                    nx = n0x * w + n1x * u + n2x * v
-                    ny = n0y * w + n1y * u + n2y * v
-                    nz = n0z * w + n1z * u + n2z * v
+                    # Delta-form interpolation (see _traverse_kernel).
+                    nx = n0x + u * (n1x - n0x) + v * (n2x - n0x)
+                    ny = n0y + u * (n1y - n0y) + v * (n2y - n0y)
+                    nz = n0z + u * (n1z - n0z) + v * (n2z - n0z)
                     inv_len = jax.lax.rsqrt(
                         jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
                     )
