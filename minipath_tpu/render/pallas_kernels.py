@@ -32,6 +32,10 @@ from minipath_tpu.scene.bvh.build import BvhArrays
 
 _NULL = L.NULL_LINK
 
+# VMEM window the kernels may use for scene arrays + blocks; must match the
+# CompilerParams passed to every pallas_call below.
+VMEM_BUDGET = 100 * 1024 * 1024
+
 # Batcher sorting network on 8 inputs (19 comparators). Both kernels order
 # children by DESCENDING packet-entry distance so the nearest child pops
 # first — front-to-back traversal tightens best_t early (the reference
@@ -139,11 +143,10 @@ def prepare_scene(bvh: BvhArrays) -> PallasScene:
         tri_shade=tri_shade.astype(jnp.float32),
         root=root,
     )
-    budget = 100 * 1024 * 1024  # must match CompilerParams below
-    if scene.vmem_bytes() > budget:
+    if scene.vmem_bytes() > VMEM_BUDGET:
         raise ValueError(
             f"scene needs ~{scene.vmem_bytes()/1e6:.0f} MB of VMEM, over the "
-            f"kernel budget ({budget/1e6:.0f} MB) for the f32 layout. Use the "
+            f"kernel budget ({VMEM_BUDGET/1e6:.0f} MB) for the f32 layout. Use the "
             "16-bit quantized layout (prepare_scene_quantized — half the "
             "footprint; TriangleBvh.pallas_scene falls back to it "
             "automatically) or the portable XLA engine (backend='xla')."
@@ -451,7 +454,7 @@ def trace_packets_pallas(
             # The whole scene lives in VMEM; the default scoped budget
             # (16 MB) rejects large scenes when this call is embedded in a
             # bigger program (e.g. the multi-bounce path tracer).
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_BUDGET,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
@@ -547,9 +550,6 @@ class QuantizedPallasScene(NamedTuple):
     def vmem_bytes(self) -> int:
         """Kernel VMEM window (rows pad to 128 lanes)."""
         return (self.node_q.shape[0] + self.tri_q.shape[0]) * 128 * 4
-
-
-VMEM_BUDGET = 100 * 1024 * 1024  # must match CompilerParams below
 
 
 def prepare_scene_quantized(bvh: BvhArrays) -> QuantizedPallasScene:

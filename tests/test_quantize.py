@@ -293,3 +293,22 @@ def test_quantized_materials_roundtrip(rng):
     np.testing.assert_array_equal(
         got.reshape(-1), np.asarray(res.arrays.tri_material, np.int64)
     )
+
+
+def test_pallas_scene_auto_fallback(monkeypatch):
+    """TriangleBvh.pallas_scene falls back to the quantized layout when the
+    f32 layout exceeds the kernel VMEM budget."""
+    import importlib
+
+    pk = importlib.import_module("minipath_tpu.render.pallas_kernels")
+    from minipath_tpu.scene.procedural import make_random_triangles
+    from minipath_tpu.scene.triangle_bvh import TriangleBvh
+
+    obj = TriangleBvh.build(make_random_triangles(2000, seed=1))
+    f32_bytes = pk.prepare_scene(obj.arrays).vmem_bytes()
+    obj2 = TriangleBvh.build(make_random_triangles(2000, seed=1))
+    # Budget below the f32 footprint but above the quantized one.
+    monkeypatch.setattr(pk, "VMEM_BUDGET", f32_bytes - 1)
+    scene = obj2.pallas_scene
+    assert isinstance(scene, pk.QuantizedPallasScene)
+    assert scene.vmem_bytes() <= f32_bytes - 1
