@@ -88,6 +88,101 @@ def build_scene():
     return result
 
 
+def build_big_scene(n_tris=600_000):
+    """Sponza-scale mesh (>=500k tris), loaded through the OBJ pipeline.
+
+    BASELINE.md names Sponza-class workloads; the Sponza submodule is empty
+    in the reference snapshot (and this image has no network), so the
+    high-poly atrium stands in — but like the main workload it round-trips
+    through a real Wavefront OBJ and ``TriangleBvh.with_obj``.
+    """
+    from minipath_tpu.scene.bvh.build import BvhArrays, BuildResult
+
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"atrium_obj_{n_tris}_v1.npz")
+    if os.path.exists(path):
+        log("loading cached big-atrium BVH")
+        data = np.load(path)
+        arrays = BvhArrays(**{f: data[f] for f in BvhArrays._fields})
+        return BuildResult(
+            arrays=arrays,
+            triangle_count=int(data["meta_tris"]),
+            vertex_count=int(data["meta_verts"]),
+            max_depth=int(data["meta_depth"]),
+        )
+
+    from minipath_tpu.scene.obj_loader import save_obj
+    from minipath_tpu.scene.procedural import make_atrium
+    from minipath_tpu.scene.triangle_bvh import TriangleBvh
+
+    obj_path = os.path.join(CACHE, f"atrium_{n_tris}.obj")
+    if not os.path.exists(obj_path):
+        log(f"building {n_tris}-tri atrium + writing OBJ...")
+        t0 = time.time()
+        mesh = make_atrium(n_tris)
+        save_obj(obj_path, mesh)
+        log(f"  {mesh.triangle_count} tris -> {obj_path} in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    bvh = TriangleBvh.with_obj(obj_path, leaf_max=24)
+    result = bvh.build_result
+    log(
+        f"  with_obj: {result.triangle_count} tris, depth={result.max_depth} "
+        f"in {time.time()-t0:.1f}s"
+    )
+    np.savez_compressed(
+        path,
+        **result.arrays._asdict(),
+        meta_tris=result.triangle_count,
+        meta_verts=result.vertex_count,
+        meta_depth=result.max_depth,
+    )
+    return result
+
+
+def bench_big_scene(sampler, key, sync):
+    """Side benchmark: >=500k-tri OBJ-loaded scene (auto layout selection:
+    too big for the f32 VMEM budget, so the quantized kernel carries it)."""
+    import jax
+
+    from minipath_tpu.render.frame import render_frame_pallas
+    from minipath_tpu.render.pallas_kernels import (
+        VMEM_BUDGET,
+        prepare_scene_quantized,
+    )
+
+    result = build_big_scene()
+    bvh = result.as_device()
+    qscene = prepare_scene_quantized(result.arrays)
+    stack = result.recommended_stack_size
+
+    def frame(k):
+        return render_frame_pallas(
+            bvh, sampler, k,
+            width=WIDTH, height=HEIGHT, spp=SPP, stack_size=stack,
+            samples_per_packet=32, scene=qscene,
+        )
+
+    log("big-scene warmup (compile)...")
+    t0 = time.time()
+    sync(frame(key))
+    log(f"  big-scene cold frame: {time.time()-t0:.1f}s")
+    stats = time_frames(frame, sync, key, 3, "big")
+    rays = WIDTH * HEIGHT * SPP
+    mrays = rays / stats["mean_s"] / 1e6
+    log(f"big scene: {stats['mean_s']:.3f}s  {mrays:.1f} Mrays/s")
+    return {
+        "workload": f"atrium-from-OBJ {result.triangle_count} tris "
+        f"(Sponza-scale), {WIDTH}x{HEIGHT} @ {SPP} spp, quantized kernel",
+        "triangle_count": result.triangle_count,
+        "obj_loaded": True,
+        **stats,
+        "mrays_per_s": round(mrays, 2),
+        "vmem_mb": round(qscene.vmem_bytes() / 1e6, 1),
+        "vmem_budget_mb": round(VMEM_BUDGET / 1e6, 1),
+    }
+
+
 def smoke_test(bvh, scene, sampler, stack):
     """Trace a tiny batch through the COMPILED kernel and compare against the
     portable XLA engine; abort with a diff instead of wasting a full warmup
@@ -229,6 +324,13 @@ def main() -> int:
     qmrays = rays / qstats["mean_s"] / 1e6
     log(f"quantized: {qstats['mean_s']:.3f}s  {qmrays:.1f} Mrays/s")
 
+    # Side measurement: Sponza-scale (>=500k tris) OBJ-loaded scene.
+    try:
+        big = bench_big_scene(sampler, key, sync)
+    except Exception as e:  # never let the side bench kill the headline
+        log(f"big-scene bench failed: {e!r}")
+        big = {"error": repr(e)}
+
     extra = {
         "workload": f"atrium-from-OBJ {result.triangle_count} tris, "
         f"{WIDTH}x{HEIGHT} @ {SPP} spp, parity integrator",
@@ -240,6 +342,7 @@ def main() -> int:
             "f32": round(scene.vmem_bytes() / 1e6, 1),
             "quantized": round(qscene.vmem_bytes() / 1e6, 1),
         },
+        "big_scene": big,
     }
     with open(os.path.join(REPO, "BENCH_extra.json"), "w") as f:
         json.dump(extra, f, indent=2)

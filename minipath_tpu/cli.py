@@ -149,6 +149,7 @@ def _render_pt(args, bvh, camera, mesh=None) -> int:
 
     from minipath_tpu.render.wavefront import (
         make_pallas_tracer,
+        make_pt_tracer,
         make_xla_tracer,
         render_frame_pt,
     )
@@ -165,11 +166,20 @@ def _render_pt(args, bvh, camera, mesh=None) -> int:
             bvh.arrays, stack_size=bvh.recommended_stack_size, packet_size=256
         )
     else:
-        tracer, tracer_state = make_pallas_tracer(
-            bvh.pallas_scene,
-            stack_size=bvh.recommended_stack_size,
-            packet_size=2048,
-        )
+        try:
+            # Lean PT kernel: fastest on incoherent bounce packets.
+            tracer, tracer_state = make_pt_tracer(
+                bvh.pt_scene,
+                stack_size=bvh.recommended_stack_size,
+                packet_size=2048,
+            )
+        except ValueError:
+            # Scene too big for the f32 VMEM budget: quantized full kernel.
+            tracer, tracer_state = make_pallas_tracer(
+                bvh.pallas_scene,
+                stack_size=bvh.recommended_stack_size,
+                packet_size=2048,
+            )
     t0 = time.time()
     if mesh is not None:
         from minipath_tpu.render.wavefront import make_pt_renderer_sharded

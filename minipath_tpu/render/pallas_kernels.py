@@ -73,6 +73,10 @@ class KernelHits(NamedTuple):
     # reference's growable StackCache (ray_bvh_intersection.rs:19-23) can't
     # exist in fixed SMEM, so overflow is surfaced instead of corrupting.
     overflow: jnp.ndarray | None = None
+    # (B,) i32 profiling counters: inner-node visits and 8-triangle leaf
+    # packet tests per ray packet (the traversal's two cost units).
+    inner_visits: jnp.ndarray | None = None
+    leaf_tests: jnp.ndarray | None = None
 
 
 class PallasScene(NamedTuple):
@@ -207,7 +211,7 @@ def _traverse_kernel(
         return sp > 0
 
     def body(carry):
-        sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat = carry
+        sp, ovf, ivis, ltst, max_best, best_t, best_tri, bnx, bny, bnz, bmat = carry
         link = stack_ref[sp - 1]
         t_entry = stack_t_ref[sp - 1]
         sp = sp - 1
@@ -216,7 +220,8 @@ def _traverse_kernel(
         is_leaf = count != 0
 
         def inner_case(args):
-            sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
+            sp, ovf, ivis, ltst, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
+            ivis = ivis + 1
             boxes = node_box_ref[idx]  # (48,)
             clinks = node_links_ref[idx]  # (8,)
             child_links = []
@@ -269,10 +274,11 @@ def _traverse_kernel(
 
                 sp = sp + ok.astype(jnp.int32)
                 ovf = ovf + (push & ~fits).astype(jnp.int32)
-            return sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat
+            return sp, ovf, ivis, ltst, max_best, best_t, best_tri, bnx, bny, bnz, bmat
 
         def leaf_case(args):
-            sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
+            sp, ovf, ivis, ltst, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
+            ltst = ltst + count
 
             # Process the whole leaf run (count packets of 8 triangles) in
             # one pop: an inner fori over packets replaces the reference's
@@ -338,7 +344,7 @@ def _traverse_kernel(
                 0, count, packet_body, (best_t, best_tri, bnx, bny, bnz, bmat)
             )
             max_best = jnp.max(best_t)
-            return sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat
+            return sp, ovf, ivis, ltst, max_best, best_t, best_tri, bnx, bny, bnz, bmat
 
         def skip_case(args):
             return args
@@ -351,18 +357,20 @@ def _traverse_kernel(
             live,
             lambda args: jax.lax.cond(is_leaf, leaf_case, inner_case, args),
             skip_case,
-            (sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat),
+            (sp, ovf, ivis, ltst, max_best, best_t, best_tri, bnx, bny, bnz, bmat),
         )
 
     best_t0 = jnp.full((S, LANES), t_max, jnp.float32)
     best_tri0 = jnp.full((S, LANES), -1, jnp.int32)
     zeros = jnp.zeros((S, LANES), jnp.float32)
     sp0 = jnp.where((root == _NULL) | ~live, 0, 1).astype(jnp.int32)
-    _, ovf, _, best_t, best_tri, bnx, bny, bnz, bmat = jax.lax.while_loop(
+    _, ovf, ivis, ltst, _, best_t, best_tri, bnx, bny, bnz, bmat = jax.lax.while_loop(
         cond,
         body,
         (
             sp0,
+            jnp.int32(0),
+            jnp.int32(0),
             jnp.int32(0),
             jnp.float32(t_max),
             best_t0,
@@ -379,7 +387,10 @@ def _traverse_kernel(
     ny_ref[0] = bny
     nz_ref[0] = bnz
     mat_out_ref[0] = bmat
-    ovf_ref[0] = jnp.full((1, LANES), ovf, jnp.int32)
+    # Counters ride spare lanes of the overflow row: lane 0 = overflow,
+    # lane 1 = inner visits, lane 2 = leaf-packet tests.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    ovf_ref[0] = jnp.where(lane == 1, ivis, jnp.where(lane == 2, ltst, ovf))
 
 
 @functools.partial(
@@ -483,6 +494,8 @@ def trace_packets_pallas(
         ),
         material=mat.reshape(B, P),
         overflow=ovf[:, 0, 0],
+        inner_visits=ovf[:, 0, 1],
+        leaf_tests=ovf[:, 0, 2],
     )
 
 
@@ -950,6 +963,360 @@ def trace_packets_pallas_q(
         ),
         material=mat.reshape(B, P),
         overflow=ovf[:, 0, 0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lean path-tracing kernel: closest hit only (t, tri, u, v), shading deferred
+# ---------------------------------------------------------------------------
+#
+# The wavefront integrator's cost profile is inverted from the primary-ray
+# renderer: compacted bounce packets visit ~25x more nodes and ~100x more
+# leaf packets than coherent primary packets (tools/sweep_pt6.py: ~320
+# visits + ~1160 leaf tests per 2048-ray packet vs 14 + 10). Measured cost
+# fits ~1.2us per inner visit and ~0.58us per 8-triangle leaf test, so this
+# kernel strips everything amortizable out of the per-visit loop:
+#
+# * leaf tests do Moller-Trumbore only — no normal interpolation, no
+#   material: the winner's (u, v) ride out and shading data is ONE 48-byte
+#   gather per ray on the XLA side (make_pt_tracer);
+# * child traversal order is scalar geometry, not a vector reduction: the
+#   far-first sort key is the projection of each child box center onto the
+#   packet's direction octant (compaction sorts rays by octant, so one
+#   scalar octant per packet is representative), computed from box scalars
+#   the slab test already loaded — replacing the 8 per-child min-reduces
+#   that fed the sorting network;
+# * push decisions use 4 packed sum-reduces (two children per 16-bit field)
+#   instead of 8 min-reduces, and the stack holds links only (no entry
+#   distance, no pop re-prune: the slab test already prunes against the
+#   live best_t vector at test time).
+
+
+class PTScene(NamedTuple):
+    """Scene layout for the lean PT kernel."""
+
+    node_box: jnp.ndarray  # (N, 48) f32 — as PallasScene
+    node_links: jnp.ndarray  # (N, 8) i32 — as PallasScene
+    tri_data: jnp.ndarray  # (M, 80) f32 — as PallasScene (materials unused)
+    root: jnp.ndarray  # (1, 1) i32
+    # (M*8, 12) f32 HBM-side shading table: n0, n1, n2, material, pad —
+    # gathered per winning triangle OUTSIDE the kernel (not a kernel input).
+    shade_flat: jnp.ndarray
+
+    def vmem_bytes(self) -> int:
+        """Kernel VMEM window (rows pad to 128 lanes; shade_flat stays in
+        HBM and is excluded)."""
+        return (
+            self.node_box.shape[0] * 2 + self.tri_data.shape[0]
+        ) * 128 * 4
+
+
+class PTHits(NamedTuple):
+    """Lean kernel trace output."""
+
+    t: jnp.ndarray  # (B, P) f32, t_max where miss
+    tri: jnp.ndarray  # (B, P) i32, -1 on miss
+    u: jnp.ndarray  # (B, P) f32 barycentrics at the best hit
+    v: jnp.ndarray
+    overflow: jnp.ndarray  # (B,) i32
+    inner_visits: jnp.ndarray  # (B,) i32
+    leaf_tests: jnp.ndarray  # (B,) i32
+
+
+def prepare_scene_pt(bvh: BvhArrays) -> PTScene:
+    """Derive the lean PT layout from BvhArrays (shares the PallasScene
+    node/triangle encodings; adds the flat shading table)."""
+    base = prepare_scene(bvh)
+    M = base.tri_shade.shape[0]
+    shade = base.tri_shade.reshape(M * 8, 9)
+    mat = base.tri_data[:, 72:80].reshape(M * 8, 1)
+    shade_flat = jnp.concatenate(
+        [shade, mat, jnp.zeros((M * 8, 2), jnp.float32)], axis=-1
+    )  # (M*8, 12)
+    return PTScene(
+        node_box=base.node_box,
+        node_links=base.node_links,
+        tri_data=base.tri_data,
+        root=base.root,
+        shade_flat=shade_flat,
+    )
+
+
+def _traverse_kernel_pt(
+    root_ref,  # SMEM (1, 1) i32
+    live_ref,  # SMEM (1, 1) i32
+    node_box_ref,  # VMEM (N, 48) f32
+    node_links_ref,  # VMEM (N, 8) i32
+    tri_ref,  # VMEM (M, 80) f32
+    rays_ref,  # VMEM (1, 9, S, 128) f32
+    t_ref,  # out (1, S, 128) f32
+    tri_out_ref,  # out (1, S, 128) i32
+    u_ref,  # out (1, S, 128) f32
+    v_ref,  # out (1, S, 128) f32
+    diag_ref,  # out (1, 1, LANES) i32: lane 0 ovf, 1 visits, 2 leaf tests
+    stack_ref,  # SMEM scratch (S,) i32 — links only
+    *,
+    t_max: float,
+    stack_size: int,
+):
+    S, LANES = rays_ref.shape[2], rays_ref.shape[3]
+    ox = rays_ref[0, 0]
+    oy = rays_ref[0, 1]
+    oz = rays_ref[0, 2]
+    dx = rays_ref[0, 3]
+    dy = rays_ref[0, 4]
+    dz = rays_ref[0, 5]
+    BIG = jnp.float32(1e30)
+    ix = jnp.clip(rays_ref[0, 6], -BIG, BIG)
+    iy = jnp.clip(rays_ref[0, 7], -BIG, BIG)
+    iz = jnp.clip(rays_ref[0, 8], -BIG, BIG)
+
+    # Packet direction octant signs from lane 0 (compaction sorts rays by
+    # octant, so lane 0 is representative; a minority lane only degrades
+    # traversal order, never correctness). Children are ordered by the
+    # projection of their box center onto this octant direction.
+    one = jnp.float32(1.0)
+    sgx = jnp.where(rays_ref[0, 3, 0, 0] > 0.0, one, -one)
+    sgy = jnp.where(rays_ref[0, 4, 0, 0] > 0.0, one, -one)
+    sgz = jnp.where(rays_ref[0, 5, 0, 0] > 0.0, one, -one)
+
+    root = root_ref[0, 0]
+    stack_ref[0] = root
+    live = pl.program_id(0) < live_ref[0, 0]
+
+    def cond(carry):
+        return carry[0] > 0
+
+    def body(carry):
+        sp, ovf, ivis, ltst, best_t, best_tri, bu, bv = carry
+        link = stack_ref[sp - 1]
+        sp = sp - 1
+        count = link & L.COUNT_MASK
+        idx = link >> L.COUNT_BITS
+        is_leaf = count != 0
+
+        def inner_case(args):
+            sp, ovf, ivis, ltst, best_t, best_tri, bu, bv = args
+            ivis = ivis + 1
+            boxes = node_box_ref[idx]  # (48,)
+            clinks = node_links_ref[idx]  # (8,)
+            # Per-lane hit bits for all 8 children, reduced in 4 packed
+            # sums (counts <= S*128 < 65536 fit a 16-bit field).
+            packed = [jnp.zeros((S, LANES), jnp.int32) for _ in range(4)]
+            child_keys = []
+            child_links = []
+            for c in range(8):
+                o = c * 6
+                bminx, bminy, bminz = boxes[o + 0], boxes[o + 1], boxes[o + 2]
+                bmaxx, bmaxy, bmaxz = boxes[o + 3], boxes[o + 4], boxes[o + 5]
+                tx0 = (bminx - ox) * ix
+                tx1 = (bmaxx - ox) * ix
+                ty0 = (bminy - oy) * iy
+                ty1 = (bmaxy - oy) * iy
+                tz0 = (bminz - oz) * iz
+                tz1 = (bmaxz - oz) * iz
+                t1 = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), 0.0),
+                    jnp.maximum(jnp.minimum(ty0, ty1), jnp.minimum(tz0, tz1)),
+                )
+                t2 = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), best_t),
+                    jnp.minimum(jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)),
+                )
+                hit = (t1 <= t2).astype(jnp.int32)
+                packed[c // 2] = packed[c // 2] + (
+                    hit if c % 2 == 0 else hit << 16
+                )
+                # Far-first sort key: center projection onto the octant
+                # direction (scalar geometry, no vector reduce).
+                child_keys.append(
+                    sgx * (bminx + bmaxx)
+                    + sgy * (bminy + bmaxy)
+                    + sgz * (bminz + bmaxz)
+                )
+                child_links.append(clinks[c])
+            NEG = jnp.float32(-jnp.inf)
+            for j in range(4):
+                tot = jnp.sum(packed[j])
+                lo_any = (tot & 0xFFFF) > 0
+                hi_any = (tot >> 16) > 0
+                c0, c1 = 2 * j, 2 * j + 1
+                child_keys[c0] = jnp.where(
+                    lo_any & (child_links[c0] != _NULL), child_keys[c0], NEG
+                )
+                child_keys[c1] = jnp.where(
+                    hi_any & (child_links[c1] != _NULL), child_keys[c1], NEG
+                )
+
+            # Descending sort: pushed children (finite keys) form a prefix,
+            # farthest first, so the nearest child pops first.
+            _sort_children_desc(child_keys, [child_links])
+
+            for k in range(8):
+                push = child_keys[k] != NEG
+                fits = sp < stack_size
+                ok = push & fits
+
+                @pl.when(ok)
+                def _():
+                    stack_ref[sp] = child_links[k]
+
+                sp = sp + ok.astype(jnp.int32)
+                ovf = ovf + (push & ~fits).astype(jnp.int32)
+            return sp, ovf, ivis, ltst, best_t, best_tri, bu, bv
+
+        def leaf_case(args):
+            sp, ovf, ivis, ltst, best_t, best_tri, bu, bv = args
+            ltst = ltst + count
+
+            def packet_body(j, pc):
+                best_t, best_tri, bu, bv = pc
+                pidx = idx + j
+                tris = tri_ref[pidx]  # (80,)
+                for lane in range(8):
+                    o = lane * 9
+                    v0x, v0y, v0z = tris[o + 0], tris[o + 1], tris[o + 2]
+                    e1x, e1y, e1z = tris[o + 3], tris[o + 4], tris[o + 5]
+                    e2x, e2y, e2z = tris[o + 6], tris[o + 7], tris[o + 8]
+                    # Möller–Trumbore, two-sided (triangle.rs:187-216).
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv_det = 1.0 / det
+                    sx = ox - v0x
+                    sy = oy - v0y
+                    sz = oz - v0z
+                    u = inv_det * (sx * px + sy * py + sz * pz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = inv_det * (dx * qx + dy * qy + dz * qz)
+                    t = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = (
+                        (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (t >= 0.0)
+                        & (t < best_t)
+                    )
+                    best_tri = jnp.where(
+                        ok, pidx * L.LEAF_NODE_PACKET_SIZE + lane, best_tri
+                    )
+                    best_t = jnp.where(ok, t, best_t)
+                    bu = jnp.where(ok, u, bu)
+                    bv = jnp.where(ok, v, bv)
+                return best_t, best_tri, bu, bv
+
+            best_t, best_tri, bu, bv = jax.lax.fori_loop(
+                0, count, packet_body, (best_t, best_tri, bu, bv)
+            )
+            return sp, ovf, ivis, ltst, best_t, best_tri, bu, bv
+
+        return jax.lax.cond(
+            is_leaf,
+            leaf_case,
+            inner_case,
+            (sp, ovf, ivis, ltst, best_t, best_tri, bu, bv),
+        )
+
+    best_t0 = jnp.full((S, LANES), t_max, jnp.float32)
+    best_tri0 = jnp.full((S, LANES), -1, jnp.int32)
+    zeros = jnp.zeros((S, LANES), jnp.float32)
+    sp0 = jnp.where((root == _NULL) | ~live, 0, 1).astype(jnp.int32)
+    _, ovf, ivis, ltst, best_t, best_tri, bu, bv = jax.lax.while_loop(
+        cond,
+        body,
+        (sp0, jnp.int32(0), jnp.int32(0), jnp.int32(0), best_t0, best_tri0, zeros, zeros),
+    )
+    t_ref[0] = best_t
+    tri_out_ref[0] = best_tri
+    u_ref[0] = bu
+    v_ref[0] = bv
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    diag_ref[0] = jnp.where(lane == 1, ivis, jnp.where(lane == 2, ltst, ovf))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stack_size", "t_max", "interpret")
+)
+def trace_packets_pallas_pt(
+    scene: PTScene,
+    rays9: jnp.ndarray,  # (B, 9, P//128, 128) f32
+    *,
+    stack_size: int = 96,
+    t_max: float = np.inf,
+    interpret: bool = False,
+    live_packets=None,
+):
+    """Lean closest-hit trace (see the section comment above). Returns
+    :class:`PTHits` with ``(B, P)`` fields; shading is the caller's job."""
+    B, _, S, LANES = rays9.shape
+    P = S * LANES
+    kernel = functools.partial(
+        _traverse_kernel_pt, t_max=float(t_max), stack_size=int(stack_size)
+    )
+    if live_packets is None:
+        live_packets = B
+    live = jnp.asarray(live_packets, jnp.int32).reshape(1, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # root
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # live_packets
+            pl.BlockSpec(
+                scene.node_box.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                scene.node_links.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                scene.tri_data.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 9, S, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ]
+        * 4
+        + [
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((stack_size,), jnp.int32),
+        ],
+    )
+    best_t, best_tri, u, v, diag = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        scene.root,
+        live,
+        scene.node_box,
+        scene.node_links,
+        scene.tri_data,
+        rays9,
+    )
+    return PTHits(
+        t=best_t.reshape(B, P),
+        tri=best_tri.reshape(B, P),
+        u=u.reshape(B, P),
+        v=v.reshape(B, P),
+        overflow=diag[:, 0, 0],
+        inner_visits=diag[:, 0, 1],
+        leaf_tests=diag[:, 0, 2],
     )
 
 

@@ -27,6 +27,8 @@ from minipath_tpu.parallel.mesh import gen_frame_rays9, unpack_frame
 from minipath_tpu.render.pallas_kernels import (
     KernelHits,
     PallasScene,
+    PTScene,
+    trace_packets_pallas_pt,
     trace_scene,
 )
 from minipath_tpu.scene.materials import (
@@ -181,6 +183,74 @@ def make_pallas_tracer(
             normal=kh.normal.reshape(Np, 3)[:N],
             material=kh.material.reshape(Np)[:N],
             overflow=kh.overflow,
+            inner_visits=kh.inner_visits,
+            leaf_tests=kh.leaf_tests,
+        )
+
+    return tracer, scene
+
+
+def make_pt_tracer(
+    scene: PTScene,
+    *,
+    stack_size: int,
+    packet_size: int = 2048,
+    interpret: bool = False,
+):
+    """Tracer over the lean PT kernel (``trace_packets_pallas_pt``).
+
+    The kernel returns only ``(t, tri, u, v)``; the winner's shading normal
+    and material come from ONE 48-byte row gather per ray out of
+    ``scene.shade_flat`` (HBM-side), interpolated with the kernel's
+    barycentrics — measured ~1.8x faster end to end on compacted bounce
+    packets than the full kernel, which pays ~20 normal-interpolation vector
+    ops per triangle lane inside the leaf loop (tools/sweep_pt7.py).
+
+    Same ``(tracer_fn, tracer_state)`` contract as :func:`make_pallas_tracer`.
+    """
+    assert packet_size % 128 == 0, packet_size
+
+    def tracer(state: PTScene, origin, direction, inv_direction, live_rays=None):
+        N = origin.shape[0]
+        Np = -(-N // packet_size) * packet_size
+        if Np != N:
+            pad = jnp.arange(Np - N) % N
+            origin = jnp.concatenate([origin, origin[pad]], axis=0)
+            direction = jnp.concatenate([direction, direction[pad]], axis=0)
+            inv_direction = jnp.concatenate(
+                [inv_direction, inv_direction[pad]], axis=0
+            )
+        B = Np // packet_size
+        live_packets = None
+        if live_rays is not None:
+            live_packets = (
+                jnp.asarray(live_rays, jnp.int32) + packet_size - 1
+            ) // packet_size
+        r9 = jnp.concatenate([origin, direction, inv_direction], axis=-1)
+        r9 = jnp.swapaxes(r9.reshape(B, packet_size, 9), 1, 2)
+        r9 = r9.reshape(B, 9, packet_size // 128, 128)
+        ph = trace_packets_pallas_pt(
+            state,
+            r9,
+            stack_size=stack_size,
+            interpret=interpret,
+            live_packets=live_packets,
+        )
+        tri = ph.tri.reshape(Np)[:N]
+        u = ph.u.reshape(Np)[:N, None]
+        v = ph.v.reshape(Np)[:N, None]
+        row = state.shade_flat[jnp.maximum(tri, 0)]  # (N, 12) — one gather
+        n0 = row[:, 0:3]
+        normal = n0 + u * (row[:, 3:6] - n0) + v * (row[:, 6:9] - n0)
+        normal = _normalize(normal)
+        return KernelHits(
+            t=ph.t.reshape(Np)[:N],
+            tri=tri,
+            normal=normal,
+            material=row[:, 9].astype(jnp.int32),
+            overflow=ph.overflow,
+            inner_visits=ph.inner_visits,
+            leaf_tests=ph.leaf_tests,
         )
 
     return tracer, scene

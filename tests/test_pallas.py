@@ -207,6 +207,82 @@ def test_live_prefix_early_exit(rng):
     assert (np.asarray(part.tri)[2:] == -1).all()
 
 
+def test_pt_kernel_matches_oracle(rng):
+    """The lean PT kernel (octant-order traversal, no in-kernel shading)
+    must find the same closest hits as the brute-force oracle."""
+    from minipath_tpu.render.pallas_kernels import (
+        prepare_scene_pt,
+        trace_packets_pallas_pt,
+    )
+
+    mesh = make_random_triangles(1000, seed=41)
+    res = build_bvh(mesh)
+    bvh = res.as_device()
+    sp = prepare_scene_pt(res.arrays)
+    origin = rng.uniform(-12, 12, (3, 128, 3)).astype(np.float32)
+    direction = rng.normal(size=(3, 128, 3)).astype(np.float32)
+    rays = make_rays(origin, direction)
+    ph = trace_packets_pallas_pt(
+        sp, rays_to_rays9(rays), stack_size=res.recommended_stack_size,
+        interpret=True,
+    )
+    want = trace_brute_force(bvh.tri_packets, rays)
+    got_tri, want_tri = np.asarray(ph.tri), np.asarray(want.tri)
+    assert ((got_tri >= 0) == (want_tri >= 0)).all()
+    hits = want_tri >= 0
+    np.testing.assert_allclose(
+        np.asarray(ph.t)[hits], np.asarray(want.t)[hits], rtol=1e-5, atol=1e-6
+    )
+    assert np.asarray(ph.overflow).sum() == 0
+    # Undersized stack reports overflow instead of corrupting.
+    tiny = trace_packets_pallas_pt(
+        sp, rays_to_rays9(rays), stack_size=2, interpret=True
+    )
+    assert np.asarray(tiny.overflow).sum() > 0
+
+
+def test_pt_tracer_matches_full_tracer(rng):
+    """make_pt_tracer's gathered+interpolated normals and materials must
+    match the full kernel's in-kernel shading on the same rays."""
+    import jax.numpy as jnp
+
+    from minipath_tpu.render.pallas_kernels import prepare_scene_pt
+    from minipath_tpu.render.wavefront import make_pallas_tracer, make_pt_tracer
+
+    mesh = make_uv_sphere(rings=10, segments=16)
+    from minipath_tpu.scene.triangle_bvh import TriangleBvh
+
+    obj = TriangleBvh.build(mesh)
+    scene = prepare_scene(obj.arrays)
+    sp = prepare_scene_pt(obj.host_arrays)
+    stack = obj.recommended_stack_size
+    n = 256
+    o = np.tile(np.array([0, 0, -4], np.float32), (n, 1))
+    d = np.array([0, 0, 1], np.float32) + 0.25 * rng.normal(size=(n, 3)).astype(
+        np.float32
+    )
+    inv = np.where(d == 0, np.inf, 1.0 / d).astype(np.float32)
+    full_tr, full_st = make_pallas_tracer(
+        scene, stack_size=stack, packet_size=256, interpret=True
+    )
+    lean_tr, lean_st = make_pt_tracer(
+        sp, stack_size=stack, packet_size=256, interpret=True
+    )
+    a = full_tr(full_st, jnp.asarray(o), jnp.asarray(d), jnp.asarray(inv))
+    b = lean_tr(lean_st, jnp.asarray(o), jnp.asarray(d), jnp.asarray(inv))
+    np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(b.tri))
+    m = np.asarray(a.tri) >= 0
+    np.testing.assert_allclose(
+        np.asarray(a.t)[m], np.asarray(b.t)[m], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.normal)[m], np.asarray(b.normal)[m], atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.material)[m], np.asarray(b.material)[m]
+    )
+
+
 def test_compact_preserves_state_and_sorts_dead_last(rng):
     from minipath_tpu.render.wavefront import _PathState, _compact
     import jax.numpy as jnp

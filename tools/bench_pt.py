@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from minipath_tpu.camera import Camera
-from minipath_tpu.render.pallas_kernels import prepare_scene
-from minipath_tpu.render.wavefront import make_pallas_tracer, render_frame_pt
+from minipath_tpu.render.pallas_kernels import prepare_scene, prepare_scene_pt
+from minipath_tpu.render.wavefront import make_pt_tracer, render_frame_pt
 from minipath_tpu.scene.bvh import native
 from minipath_tpu.scene.bvh.build import build_bvh
 from minipath_tpu.scene.materials import (
@@ -70,8 +70,8 @@ def main():
     BOUNCES = 5
 
     res, table = build_scene()
-    scene = prepare_scene(res.as_device())
-    tracer, tracer_state = make_pallas_tracer(
+    scene = prepare_scene_pt(res.as_device())
+    tracer, tracer_state = make_pt_tracer(
         scene, stack_size=res.recommended_stack_size, packet_size=2048
     )
     cam = (

@@ -18,11 +18,11 @@ import jax.numpy as jnp
 
 from minipath_tpu.camera import Camera
 from minipath_tpu.parallel.mesh import gen_frame_rays9
-from minipath_tpu.render.pallas_kernels import prepare_scene
+from minipath_tpu.render.pallas_kernels import prepare_scene_pt
 from minipath_tpu.render.wavefront import (
     _PathState,
     _compact,
-    make_pallas_tracer,
+    make_pt_tracer,
     scatter,
 )
 from minipath_tpu.scene.materials import Environment
@@ -43,8 +43,8 @@ def main():
     PKT = int(sys.argv[5]) if len(sys.argv) > 5 else 2048
 
     res, table = build_scene()
-    scene = prepare_scene(res.as_device())
-    tracer, tstate = make_pallas_tracer(
+    scene = prepare_scene_pt(res.as_device())
+    tracer, tstate = make_pt_tracer(
         scene, stack_size=res.recommended_stack_size, packet_size=PKT
     )
     env = Environment.sky()

@@ -3,8 +3,8 @@
 import sys, time
 import numpy as np, jax
 from minipath_tpu.camera import Camera
-from minipath_tpu.render.pallas_kernels import prepare_scene
-from minipath_tpu.render.wavefront import make_pallas_tracer, render_frame_pt
+from minipath_tpu.render.pallas_kernels import prepare_scene_pt
+from minipath_tpu.render.wavefront import make_pt_tracer, render_frame_pt
 from minipath_tpu.scene.bvh.build import build_bvh
 from minipath_tpu.scene.materials import (Environment, dielectric, emissive,
                                           lambertian, material_table, metal)
@@ -47,8 +47,8 @@ def build_material_scene():
 W, H, SPP = 960, 540, int(sys.argv[1]) if len(sys.argv) > 1 else 64
 mesh, mat_ids, table = build_material_scene()
 res = build_bvh(mesh, materials=mat_ids)
-scene = prepare_scene(res.as_device())
-tracer, tracer_state = make_pallas_tracer(scene, stack_size=res.recommended_stack_size, packet_size=2048)
+scene = prepare_scene_pt(res.as_device())
+tracer, tracer_state = make_pt_tracer(scene, stack_size=res.recommended_stack_size, packet_size=2048)
 cam = Camera().look_at((0.0, 2.2, 7.5), (0.0, 1.0, 0.0)).f_number(8.0).sensor_width(36e-3)
 t0=time.time()
 img = render_frame_pt(tracer, tracer_state, table, cam.build_sampler((W,H)), jax.random.key(0),
