@@ -990,6 +990,19 @@ def trace_packets_pallas_q(
 #   instead of 8 min-reduces, and the stack holds links only (no entry
 #   distance, no pop re-prune: the slab test already prunes against the
 #   live best_t vector at test time).
+#
+# Measured dead ends (kept as flags so future tuning doesn't re-explore
+# blindly; all numbers on sorted bounce-3 atrium rays, 2048-ray packets):
+# * sort_children=False (skip the 19-stage scalar sorting network): visits
+#   +60%, leaf tests +91%, 1.7x SLOWER — near-first ordering is
+#   load-bearing (tools/sweep_pt8.py).
+# * pop2=True (process two stack entries per iteration in straight-line
+#   code, hoping Mosaic co-schedules one entry's scalar sort/push with the
+#   other's vector slab/MT): +4% work inflation, net wash (847 vs 838 ms)
+#   — the kernel is vector-bound enough that there's no scalar slack to
+#   hide.
+# * packet_size 1024/4096: 2048 wins (tools/sweep_pt7.py); leaf_max 8/16:
+#   24 wins (tools/sweep_pt9.py).
 
 
 class PTScene(NamedTuple):
@@ -1058,6 +1071,8 @@ def _traverse_kernel_pt(
     *,
     t_max: float,
     stack_size: int,
+    sort_children: bool = True,
+    pop2: bool = False,
 ):
     S, LANES = rays_ref.shape[2], rays_ref.shape[3]
     ox = rays_ref[0, 0]
@@ -1087,6 +1102,125 @@ def _traverse_kernel_pt(
     def cond(carry):
         return carry[0] > 0
 
+    def inner_visit(sp, ovf, best_t, idx, gate):
+        """Slab-test node ``idx``'s 8 children against ``best_t`` and push
+        the survivors far-first. ``gate`` (scalar bool) masks all effects
+        (used by the pop-2 body when the second stack entry is absent)."""
+        boxes = node_box_ref[idx]  # (48,)
+        clinks = node_links_ref[idx]  # (8,)
+        # Per-lane hit bits for all 8 children, reduced in 4 packed
+        # sums (counts <= S*128 < 65536 fit a 16-bit field).
+        packed = [jnp.zeros((S, LANES), jnp.int32) for _ in range(4)]
+        child_keys = []
+        child_links = []
+        for c in range(8):
+            o = c * 6
+            bminx, bminy, bminz = boxes[o + 0], boxes[o + 1], boxes[o + 2]
+            bmaxx, bmaxy, bmaxz = boxes[o + 3], boxes[o + 4], boxes[o + 5]
+            tx0 = (bminx - ox) * ix
+            tx1 = (bmaxx - ox) * ix
+            ty0 = (bminy - oy) * iy
+            ty1 = (bmaxy - oy) * iy
+            tz0 = (bminz - oz) * iz
+            tz1 = (bmaxz - oz) * iz
+            t1 = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), 0.0),
+                jnp.maximum(jnp.minimum(ty0, ty1), jnp.minimum(tz0, tz1)),
+            )
+            t2 = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), best_t),
+                jnp.minimum(jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)),
+            )
+            hit = (t1 <= t2).astype(jnp.int32)
+            packed[c // 2] = packed[c // 2] + (
+                hit if c % 2 == 0 else hit << 16
+            )
+            # Far-first sort key: center projection onto the octant
+            # direction (scalar geometry, no vector reduce).
+            child_keys.append(
+                sgx * (bminx + bmaxx)
+                + sgy * (bminy + bmaxy)
+                + sgz * (bminz + bmaxz)
+            )
+            child_links.append(clinks[c])
+        NEG = jnp.float32(-jnp.inf)
+        for j in range(4):
+            tot = jnp.sum(packed[j])
+            lo_any = (tot & 0xFFFF) > 0
+            hi_any = (tot >> 16) > 0
+            c0, c1 = 2 * j, 2 * j + 1
+            child_keys[c0] = jnp.where(
+                lo_any & (child_links[c0] != _NULL), child_keys[c0], NEG
+            )
+            child_keys[c1] = jnp.where(
+                hi_any & (child_links[c1] != _NULL), child_keys[c1], NEG
+            )
+
+        # Descending sort: pushed children (finite keys) form a prefix,
+        # farthest first, so the nearest child pops first.
+        if sort_children:
+            _sort_children_desc(child_keys, [child_links])
+
+        for k in range(8):
+            push = (child_keys[k] != NEG) & gate
+            fits = sp < stack_size
+            ok = push & fits
+
+            @pl.when(ok)
+            def _():
+                stack_ref[sp] = child_links[k]
+
+            sp = sp + ok.astype(jnp.int32)
+            ovf = ovf + (push & ~fits).astype(jnp.int32)
+        return sp, ovf
+
+    def leaf_visit(idx, count, best_t, best_tri, bu, bv):
+        """MT-test ``count`` 8-triangle packets starting at ``idx``; returns
+        the (t, tri, u, v) best-hit state merged with the given baseline."""
+
+        def packet_body(j, pc):
+            best_t, best_tri, bu, bv = pc
+            pidx = idx + j
+            tris = tri_ref[pidx]  # (80,)
+            for lane in range(8):
+                o = lane * 9
+                v0x, v0y, v0z = tris[o + 0], tris[o + 1], tris[o + 2]
+                e1x, e1y, e1z = tris[o + 3], tris[o + 4], tris[o + 5]
+                e2x, e2y, e2z = tris[o + 6], tris[o + 7], tris[o + 8]
+                # Möller–Trumbore, two-sided (triangle.rs:187-216).
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = 1.0 / det
+                sx = ox - v0x
+                sy = oy - v0y
+                sz = oz - v0z
+                u = inv_det * (sx * px + sy * py + sz * pz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = inv_det * (dx * qx + dy * qy + dz * qz)
+                t = inv_det * (e2x * qx + e2y * qy + e2z * qz)
+                ok = (
+                    (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t >= 0.0)
+                    & (t < best_t)
+                )
+                best_tri = jnp.where(
+                    ok, pidx * L.LEAF_NODE_PACKET_SIZE + lane, best_tri
+                )
+                best_t = jnp.where(ok, t, best_t)
+                bu = jnp.where(ok, u, bu)
+                bv = jnp.where(ok, v, bv)
+            return best_t, best_tri, bu, bv
+
+        return jax.lax.fori_loop(
+            0, count, packet_body, (best_t, best_tri, bu, bv)
+        )
+
     def body(carry):
         sp, ovf, ivis, ltst, best_t, best_tri, bu, bv = carry
         link = stack_ref[sp - 1]
@@ -1097,126 +1231,85 @@ def _traverse_kernel_pt(
 
         def inner_case(args):
             sp, ovf, ivis, ltst, best_t, best_tri, bu, bv = args
-            ivis = ivis + 1
-            boxes = node_box_ref[idx]  # (48,)
-            clinks = node_links_ref[idx]  # (8,)
-            # Per-lane hit bits for all 8 children, reduced in 4 packed
-            # sums (counts <= S*128 < 65536 fit a 16-bit field).
-            packed = [jnp.zeros((S, LANES), jnp.int32) for _ in range(4)]
-            child_keys = []
-            child_links = []
-            for c in range(8):
-                o = c * 6
-                bminx, bminy, bminz = boxes[o + 0], boxes[o + 1], boxes[o + 2]
-                bmaxx, bmaxy, bmaxz = boxes[o + 3], boxes[o + 4], boxes[o + 5]
-                tx0 = (bminx - ox) * ix
-                tx1 = (bmaxx - ox) * ix
-                ty0 = (bminy - oy) * iy
-                ty1 = (bmaxy - oy) * iy
-                tz0 = (bminz - oz) * iz
-                tz1 = (bmaxz - oz) * iz
-                t1 = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), 0.0),
-                    jnp.maximum(jnp.minimum(ty0, ty1), jnp.minimum(tz0, tz1)),
-                )
-                t2 = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), best_t),
-                    jnp.minimum(jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)),
-                )
-                hit = (t1 <= t2).astype(jnp.int32)
-                packed[c // 2] = packed[c // 2] + (
-                    hit if c % 2 == 0 else hit << 16
-                )
-                # Far-first sort key: center projection onto the octant
-                # direction (scalar geometry, no vector reduce).
-                child_keys.append(
-                    sgx * (bminx + bmaxx)
-                    + sgy * (bminy + bmaxy)
-                    + sgz * (bminz + bmaxz)
-                )
-                child_links.append(clinks[c])
-            NEG = jnp.float32(-jnp.inf)
-            for j in range(4):
-                tot = jnp.sum(packed[j])
-                lo_any = (tot & 0xFFFF) > 0
-                hi_any = (tot >> 16) > 0
-                c0, c1 = 2 * j, 2 * j + 1
-                child_keys[c0] = jnp.where(
-                    lo_any & (child_links[c0] != _NULL), child_keys[c0], NEG
-                )
-                child_keys[c1] = jnp.where(
-                    hi_any & (child_links[c1] != _NULL), child_keys[c1], NEG
-                )
-
-            # Descending sort: pushed children (finite keys) form a prefix,
-            # farthest first, so the nearest child pops first.
-            _sort_children_desc(child_keys, [child_links])
-
-            for k in range(8):
-                push = child_keys[k] != NEG
-                fits = sp < stack_size
-                ok = push & fits
-
-                @pl.when(ok)
-                def _():
-                    stack_ref[sp] = child_links[k]
-
-                sp = sp + ok.astype(jnp.int32)
-                ovf = ovf + (push & ~fits).astype(jnp.int32)
-            return sp, ovf, ivis, ltst, best_t, best_tri, bu, bv
+            sp, ovf = inner_visit(sp, ovf, best_t, idx, jnp.bool_(True))
+            return sp, ovf, ivis + 1, ltst, best_t, best_tri, bu, bv
 
         def leaf_case(args):
             sp, ovf, ivis, ltst, best_t, best_tri, bu, bv = args
-            ltst = ltst + count
-
-            def packet_body(j, pc):
-                best_t, best_tri, bu, bv = pc
-                pidx = idx + j
-                tris = tri_ref[pidx]  # (80,)
-                for lane in range(8):
-                    o = lane * 9
-                    v0x, v0y, v0z = tris[o + 0], tris[o + 1], tris[o + 2]
-                    e1x, e1y, e1z = tris[o + 3], tris[o + 4], tris[o + 5]
-                    e2x, e2y, e2z = tris[o + 6], tris[o + 7], tris[o + 8]
-                    # Möller–Trumbore, two-sided (triangle.rs:187-216).
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    inv_det = 1.0 / det
-                    sx = ox - v0x
-                    sy = oy - v0y
-                    sz = oz - v0z
-                    u = inv_det * (sx * px + sy * py + sz * pz)
-                    qx = sy * e1z - sz * e1y
-                    qy = sz * e1x - sx * e1z
-                    qz = sx * e1y - sy * e1x
-                    v = inv_det * (dx * qx + dy * qy + dz * qz)
-                    t = inv_det * (e2x * qx + e2y * qy + e2z * qz)
-                    ok = (
-                        (u >= 0.0)
-                        & (v >= 0.0)
-                        & (u + v <= 1.0)
-                        & (t >= 0.0)
-                        & (t < best_t)
-                    )
-                    best_tri = jnp.where(
-                        ok, pidx * L.LEAF_NODE_PACKET_SIZE + lane, best_tri
-                    )
-                    best_t = jnp.where(ok, t, best_t)
-                    bu = jnp.where(ok, u, bu)
-                    bv = jnp.where(ok, v, bv)
-                return best_t, best_tri, bu, bv
-
-            best_t, best_tri, bu, bv = jax.lax.fori_loop(
-                0, count, packet_body, (best_t, best_tri, bu, bv)
+            best_t, best_tri, bu, bv = leaf_visit(
+                idx, count, best_t, best_tri, bu, bv
             )
-            return sp, ovf, ivis, ltst, best_t, best_tri, bu, bv
+            return sp, ovf, ivis, ltst + count, best_t, best_tri, bu, bv
 
         return jax.lax.cond(
             is_leaf,
             leaf_case,
             inner_case,
+            (sp, ovf, ivis, ltst, best_t, best_tri, bu, bv),
+        )
+
+    def body2(carry):
+        # Pop-2 body: process the two top stack entries per iteration in
+        # straight-line code so Mosaic can co-schedule one entry's scalar
+        # sort/push chain with the other's vector slab/MT work (the scalar
+        # and vector units otherwise serialize per visit). Entry 1 is the
+        # nearer (top) entry; entry 2's tests don't see entry 1's best_t
+        # tightening within the iteration, which only costs extra work,
+        # never correctness.
+        sp, ovf, ivis, ltst, best_t, best_tri, bu, bv = carry
+        link1 = stack_ref[sp - 1]
+        has2 = sp >= 2
+        # When only one entry exists, alias entry 2 to entry 1 (same
+        # leaf/inner branch gets taken; all entry-2 effects are gated).
+        link2 = jnp.where(has2, stack_ref[jnp.maximum(sp - 2, 0)], link1)
+        sp = sp - 1 - has2.astype(jnp.int32)
+        h2i = has2.astype(jnp.int32)
+        cnt1 = link1 & L.COUNT_MASK
+        idx1 = link1 >> L.COUNT_BITS
+        cnt2 = link2 & L.COUNT_MASK
+        idx2 = link2 >> L.COUNT_BITS
+        leaf1 = cnt1 != 0
+        leaf2 = cnt2 != 0
+
+        def II(args):
+            sp, ovf, ivis, ltst, bt, btr, bu, bv = args
+            # Far entry pushes first so entry 1's nearest child ends on top.
+            sp, ovf = inner_visit(sp, ovf, bt, idx2, has2)
+            sp, ovf = inner_visit(sp, ovf, bt, idx1, jnp.bool_(True))
+            return sp, ovf, ivis + 1 + h2i, ltst, bt, btr, bu, bv
+
+        def LL(args):
+            sp, ovf, ivis, ltst, bt, btr, bu, bv = args
+            t1, r1, u1, v1 = leaf_visit(idx1, cnt1, bt, btr, bu, bv)
+            t2, r2, u2, v2 = leaf_visit(idx2, cnt2, bt, btr, bu, bv)
+            w2 = has2 & (t2 < t1)
+            bt = jnp.where(w2, t2, t1)
+            btr = jnp.where(w2, r2, r1)
+            bu = jnp.where(w2, u2, u1)
+            bv = jnp.where(w2, v2, v1)
+            return sp, ovf, ivis, ltst + cnt1 + h2i * cnt2, bt, btr, bu, bv
+
+        def IL(args):
+            sp, ovf, ivis, ltst, bt, btr, bu, bv = args
+            sp, ovf = inner_visit(sp, ovf, bt, idx1, jnp.bool_(True))
+            t2, r2, u2, v2 = leaf_visit(idx2, cnt2, bt, btr, bu, bv)
+            w2 = has2 & (t2 < bt)
+            bt = jnp.where(w2, t2, bt)
+            btr = jnp.where(w2, r2, btr)
+            bu = jnp.where(w2, u2, bu)
+            bv = jnp.where(w2, v2, bv)
+            return sp, ovf, ivis + 1, ltst + h2i * cnt2, bt, btr, bu, bv
+
+        def LI(args):
+            sp, ovf, ivis, ltst, bt, btr, bu, bv = args
+            sp, ovf = inner_visit(sp, ovf, bt, idx2, has2)
+            bt, btr, bu, bv = leaf_visit(idx1, cnt1, bt, btr, bu, bv)
+            return sp, ovf, ivis + h2i, ltst + cnt1, bt, btr, bu, bv
+
+        return jax.lax.cond(
+            leaf1,
+            lambda a: jax.lax.cond(leaf2, LL, LI, a),
+            lambda a: jax.lax.cond(leaf2, IL, II, a),
             (sp, ovf, ivis, ltst, best_t, best_tri, bu, bv),
         )
 
@@ -1226,7 +1319,7 @@ def _traverse_kernel_pt(
     sp0 = jnp.where((root == _NULL) | ~live, 0, 1).astype(jnp.int32)
     _, ovf, ivis, ltst, best_t, best_tri, bu, bv = jax.lax.while_loop(
         cond,
-        body,
+        body2 if pop2 else body,
         (sp0, jnp.int32(0), jnp.int32(0), jnp.int32(0), best_t0, best_tri0, zeros, zeros),
     )
     t_ref[0] = best_t
@@ -1238,7 +1331,10 @@ def _traverse_kernel_pt(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stack_size", "t_max", "interpret")
+    jax.jit,
+    static_argnames=(
+        "stack_size", "t_max", "interpret", "sort_children", "pop2"
+    ),
 )
 def trace_packets_pallas_pt(
     scene: PTScene,
@@ -1248,13 +1344,19 @@ def trace_packets_pallas_pt(
     t_max: float = np.inf,
     interpret: bool = False,
     live_packets=None,
+    sort_children: bool = True,
+    pop2: bool = False,
 ):
     """Lean closest-hit trace (see the section comment above). Returns
     :class:`PTHits` with ``(B, P)`` fields; shading is the caller's job."""
     B, _, S, LANES = rays9.shape
     P = S * LANES
     kernel = functools.partial(
-        _traverse_kernel_pt, t_max=float(t_max), stack_size=int(stack_size)
+        _traverse_kernel_pt,
+        t_max=float(t_max),
+        stack_size=int(stack_size),
+        sort_children=sort_children,
+        pop2=pop2,
     )
     if live_packets is None:
         live_packets = B

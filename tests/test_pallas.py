@@ -234,6 +234,16 @@ def test_pt_kernel_matches_oracle(rng):
         np.asarray(ph.t)[hits], np.asarray(want.t)[hits], rtol=1e-5, atol=1e-6
     )
     assert np.asarray(ph.overflow).sum() == 0
+    # The pop-2 body (two stack entries per iteration, straight-line) must
+    # find the same hit distances; tri ids may differ only on exact-t ties.
+    p2 = trace_packets_pallas_pt(
+        sp, rays_to_rays9(rays), stack_size=res.recommended_stack_size,
+        interpret=True, pop2=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p2.t)[hits], np.asarray(want.t)[hits], rtol=1e-5, atol=1e-6
+    )
+    assert ((np.asarray(p2.tri) >= 0) == (want_tri >= 0)).all()
     # Undersized stack reports overflow instead of corrupting.
     tiny = trace_packets_pallas_pt(
         sp, rays_to_rays9(rays), stack_size=2, interpret=True

@@ -57,7 +57,7 @@ def main():
     sampler = cam.build_sampler((W, H))
     key = jax.random.key(0)
 
-    trace_j = jax.jit(lambda st, o, d, i: tracer(st, o, d, i))
+    trace_j = jax.jit(lambda st, o, d, i, lv=None: tracer(st, o, d, i, lv))
     compact_j = jax.jit(_compact)
 
     @jax.jit
@@ -116,16 +116,23 @@ def main():
 
     totals = {"trace": 0.0, "compact": 0.0, "shade": 0.0}
     for b in range(BOUNCES):
+        live_n = None
         if b > 0:
             t0 = time.time()
             state = compact_j(state)
             sync(state.origin)
             dt = time.time() - t0
             totals["compact"] += dt
+            # Dead rays form a suffix after compaction: pass the live count
+            # so the tracer's live-prefix early exit skips whole-dead
+            # packets (as the fused _pt_chunk loop does).
+            live_n = jnp.sum(state.active.astype(jnp.int32))
         else:
             dt = 0.0
         t0 = time.time()
-        kh = trace_j(tstate, state.origin, state.direction, state.inv_direction)
+        kh = trace_j(
+            tstate, state.origin, state.direction, state.inv_direction, live_n
+        )
         sync(kh.t)
         tt = time.time() - t0
         totals["trace"] += tt
