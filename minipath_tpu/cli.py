@@ -51,6 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bounces", type=int, default=6, help="path-tracer bounce budget")
     p.add_argument("--devices", type=int, default=1, help="shard the render across N devices (jax.sharding.Mesh); 0 = all available")
     p.add_argument("--no-compaction", action="store_true", help="path tracer: disable wavefront stream compaction (megakernel mode)")
+    p.add_argument("--nee", action="store_true", help="path tracer: next-event estimation (explicit light sampling with MIS; needs emissive materials, e.g. --scene atrium)")
     return p
 
 
@@ -60,11 +61,19 @@ def load_scene(args):
     if args.scene == "atrium":
         from minipath_tpu.scene.procedural import make_atrium
 
-        return TriangleBvh.build(make_atrium())
+        mesh = make_atrium()
+        if getattr(args, "integrator", "parity") == "pt":
+            # Path-traced atrium gets the benchmark material set (emissive
+            # ceiling panels, metal/glass props) so --nee has lights.
+            from minipath_tpu.scene.procedural import atrium_materials
+
+            mats, dicts = atrium_materials(mesh)
+            return TriangleBvh.build(mesh, materials=mats, use_native=True), dicts
+        return TriangleBvh.build(mesh, use_native=True), None
     if args.scene == "sphere-mesh":
         from minipath_tpu.scene.procedural import make_uv_sphere
 
-        return TriangleBvh.build(make_uv_sphere(1.0, rings=32, segments=64))
+        return TriangleBvh.build(make_uv_sphere(1.0, rings=32, segments=64)), None
 
     import os
 
@@ -73,8 +82,8 @@ def load_scene(args):
         from minipath_tpu.scene.procedural import make_uv_sphere
 
         print("no OBJ available; rendering procedural sphere", file=sys.stderr)
-        return TriangleBvh.build(make_uv_sphere(1.0, rings=32, segments=64))
-    return TriangleBvh.with_obj(path)
+        return TriangleBvh.build(make_uv_sphere(1.0, rings=32, segments=64)), None
+    return TriangleBvh.with_obj(path), None
 
 
 def main(argv=None) -> int:
@@ -83,7 +92,7 @@ def main(argv=None) -> int:
     from minipath_tpu import Camera, RenderSettings, Scene, render
     from minipath_tpu.utils.image import save_png
 
-    bvh = load_scene(args)
+    bvh, material_dicts = load_scene(args)
     if not args.no_stats:
         bvh.print_statistics()
 
@@ -110,7 +119,7 @@ def main(argv=None) -> int:
             mesh = make_device_mesh(n)
 
     if args.integrator == "pt":
-        return _render_pt(args, bvh, camera, mesh)
+        return _render_pt(args, bvh, camera, mesh, material_dicts)
 
     def on_tile(_tile, snapshot):
         if not args.quiet:
@@ -142,29 +151,41 @@ def main(argv=None) -> int:
     return 0
 
 
-def _render_pt(args, bvh, camera, mesh=None) -> int:
+def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
     """Path-traced whole-frame render (sky environment, gamma 2.2)."""
     import numpy as np
     import jax
 
     from minipath_tpu.render.wavefront import (
         make_pallas_tracer,
+        make_pt_shadow_tracer,
         make_pt_tracer,
+        make_xla_shadow_tracer,
         make_xla_tracer,
         render_frame_pt,
     )
     from minipath_tpu.scene.materials import (
         Environment,
+        build_light_table,
         lambertian,
         material_table,
     )
     from minipath_tpu.utils.image import color_to_image, save_png
 
-    table = material_table([lambertian((0.73, 0.73, 0.73))])
+    table = material_table(
+        material_dicts
+        if material_dicts is not None
+        else [lambertian((0.73, 0.73, 0.73))]
+    )
+    shadow_tracer = None
     if jax.default_backend() == "cpu":
         tracer, tracer_state = make_xla_tracer(
             bvh.arrays, stack_size=bvh.recommended_stack_size, packet_size=256
         )
+        if args.nee:
+            shadow_tracer = make_xla_shadow_tracer(
+                bvh.arrays, stack_size=bvh.recommended_stack_size, packet_size=256
+            )
     else:
         try:
             # Lean PT kernel: fastest on incoherent bounce packets.
@@ -173,6 +194,12 @@ def _render_pt(args, bvh, camera, mesh=None) -> int:
                 stack_size=bvh.recommended_stack_size,
                 packet_size=2048,
             )
+            if args.nee:
+                shadow_tracer = make_pt_shadow_tracer(
+                    bvh.pt_scene,
+                    stack_size=bvh.recommended_stack_size,
+                    packet_size=2048,
+                )
         except ValueError:
             # Scene too big for the f32 VMEM budget: quantized full kernel.
             tracer, tracer_state = make_pallas_tracer(
@@ -180,6 +207,23 @@ def _render_pt(args, bvh, camera, mesh=None) -> int:
                 stack_size=bvh.recommended_stack_size,
                 packet_size=2048,
             )
+            if args.nee:
+                print(
+                    "--nee unsupported with the quantized fallback kernel; "
+                    "continuing without light sampling",
+                    file=sys.stderr,
+                )
+    lights = None
+    if args.nee and shadow_tracer is not None:
+        arrays = bvh.host_arrays
+        lights = build_light_table(arrays.tri_packets, arrays.tri_material, table)
+        if lights is None:
+            print(
+                "--nee: scene has no emissive triangles; "
+                "continuing without light sampling",
+                file=sys.stderr,
+            )
+            shadow_tracer = None
     t0 = time.time()
     if mesh is not None:
         from minipath_tpu.render.wavefront import make_pt_renderer_sharded
@@ -192,6 +236,8 @@ def _render_pt(args, bvh, camera, mesh=None) -> int:
             samples_per_packet=min(8, args.spp),
             bounces=args.bounces,
             compaction=not args.no_compaction,
+            lights=lights,
+            shadow_tracer=shadow_tracer,
         )
         img = renderer(
             tracer_state,
@@ -215,6 +261,8 @@ def _render_pt(args, bvh, camera, mesh=None) -> int:
             env=Environment.sky(),
             samples_per_packet=min(8, args.spp),
             compaction=not args.no_compaction,
+            lights=lights,
+            shadow_tracer=shadow_tracer,
         )
     a = np.array(img, copy=True)
     elapsed = time.time() - t0

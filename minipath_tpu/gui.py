@@ -205,7 +205,7 @@ def main(argv=None) -> int:
         obj = args.obj
         scene = "obj"
 
-    bvh = load_scene(_SceneArgs)
+    bvh, _ = load_scene(_SceneArgs)
     camera = (
         Camera()
         .look_at((0.0, 2.0, 10.0), (0.0, 1.5, 0.0))

@@ -37,7 +37,10 @@ from minipath_tpu.scene.materials import (
     Environment,
     LAMBERTIAN,
     METAL,
+    LightTable,
     MaterialTable,
+    hit_light_pdf,
+    sample_lights,
 )
 
 _EPS = 1e-3  # self-intersection offset along the facing normal
@@ -73,6 +76,17 @@ def scatter(
     material ids. Returns ``(new_direction, attenuation, emitted, terminate)``
     — all branches are computed and selected per-lane (lockstep-friendly).
     """
+    return scatter_full(materials, key, direction, normal, mat_id)[:4]
+
+
+def scatter_full(
+    materials: MaterialTable, key, direction, normal, mat_id
+):
+    """:func:`scatter` plus the MIS inputs next-event estimation needs:
+    returns ``(new_direction, attenuation, emitted, terminate, pdf,
+    diffuse)`` where ``pdf`` is the solid-angle pdf of the sampled
+    direction for diffuse (cosine-weighted Lambertian) lanes and 0 for
+    specular/emissive lanes, and ``diffuse`` marks Lambertian lanes."""
     kind = materials.kind[mat_id]  # (...)
     albedo = materials.albedo[mat_id]  # (..., 3)
     emission = materials.emission[mat_id]
@@ -126,7 +140,13 @@ def scatter(
     )
     emitted = jnp.where(is_emi[..., None], emission, 0.0)
     terminate = is_emi | (is_met[..., 0] & met_absorbed)
-    return new_dir, attenuation, emitted, terminate
+    # Cosine-weighted hemisphere pdf for the Lambertian sample; specular
+    # lanes (delta or near-delta) report 0 so emitter hits through them get
+    # full MIS weight.
+    lam_pdf = jnp.maximum(jnp.sum(new_dir * nf, axis=-1), 0.0) / np.pi
+    diffuse = is_lam[..., 0]
+    pdf = jnp.where(diffuse, lam_pdf, 0.0)
+    return new_dir, attenuation, emitted, terminate, pdf, diffuse
 
 
 def make_pallas_tracer(
@@ -283,6 +303,82 @@ def make_xla_tracer(bvh, *, stack_size: int, packet_size: int = 256):
     return tracer, bvh
 
 
+# Shadow rays are parameterized by the UNNORMALIZED segment to the light
+# point: t runs in segment units, so one STATIC t_max just short of 1 tests
+# exactly "anything between x and y" without per-ray t_max support in the
+# kernels (the light-side epsilon; the surface-side epsilon is the caller's
+# origin offset).
+_SHADOW_T_MAX = 1.0 - 1e-3
+
+
+def make_pt_shadow_tracer(
+    scene: PTScene,
+    *,
+    stack_size: int,
+    packet_size: int = 2048,
+    interpret: bool = False,
+):
+    """Occlusion tracer over the lean PT kernel.
+
+    Returns ``shadow(state, origin, segment, live_rays=None) -> (N,) bool``
+    — True where something blocks the segment ``origin -> origin+segment``.
+    """
+    assert packet_size % 128 == 0, packet_size
+
+    def shadow(state: PTScene, origin, segment, live_rays=None):
+        N = origin.shape[0]
+        Np = -(-N // packet_size) * packet_size
+        if Np != N:
+            pad = jnp.arange(Np - N) % N
+            origin = jnp.concatenate([origin, origin[pad]], axis=0)
+            segment = jnp.concatenate([segment, segment[pad]], axis=0)
+        B = Np // packet_size
+        live_packets = None
+        if live_rays is not None:
+            live_packets = (
+                jnp.asarray(live_rays, jnp.int32) + packet_size - 1
+            ) // packet_size
+        inv = jnp.where(segment == 0.0, jnp.inf, 1.0 / segment)
+        r9 = jnp.concatenate([origin, segment, inv], axis=-1)
+        r9 = jnp.swapaxes(r9.reshape(B, packet_size, 9), 1, 2)
+        r9 = r9.reshape(B, 9, packet_size // 128, 128)
+        ph = trace_packets_pallas_pt(
+            state,
+            r9,
+            stack_size=stack_size,
+            t_max=_SHADOW_T_MAX,
+            interpret=interpret,
+            live_packets=live_packets,
+        )
+        return ph.tri.reshape(Np)[:N] >= 0
+
+    return shadow
+
+
+def make_xla_shadow_tracer(bvh, *, stack_size: int, packet_size: int = 256):
+    """Portable occlusion tracer (same contract as
+    :func:`make_pt_shadow_tracer`) over the pure-XLA engine."""
+    from minipath_tpu.geometry.ray import Rays
+    from minipath_tpu.render.traversal import trace_packets
+
+    def shadow(state, origin, segment, live_rays=None):
+        del live_rays
+        N = origin.shape[0]
+        B = N // packet_size
+        inv = jnp.where(segment == 0.0, jnp.inf, 1.0 / segment)
+        rays = Rays(
+            origin=origin.reshape(B, packet_size, 3),
+            direction=segment.reshape(B, packet_size, 3),
+            inv_direction=inv.reshape(B, packet_size, 3),
+        )
+        res = trace_packets(
+            state, rays, t_max=_SHADOW_T_MAX, stack_size=stack_size
+        )
+        return res.tri.reshape(N) >= 0
+
+    return shadow
+
+
 class _PathState(NamedTuple):
     origin: jnp.ndarray  # (N, 3)
     direction: jnp.ndarray  # (N, 3)
@@ -291,6 +387,10 @@ class _PathState(NamedTuple):
     radiance: jnp.ndarray  # (N, 3)
     pixel: jnp.ndarray  # (N,) i32 — flat pixel index in packet layout
     active: jnp.ndarray  # (N,) bool
+    # (N,) f32 BSDF pdf of `direction` at its origin vertex, 0 for camera
+    # rays and specular bounces — the MIS input for NEE emitter-hit
+    # weighting. None when NEE is off (nothing carries or compacts it).
+    prev_pdf: jnp.ndarray | None = None
 
 
 def _direction_bin(d: jnp.ndarray) -> jnp.ndarray:
@@ -356,9 +456,10 @@ def _compact(state: _PathState, fine_direction: bool = True) -> _PathState:
     dead = (~state.active).astype(jnp.int32)
     key = (dead << 19) | (dbin << 12) | cell_id
     order = jnp.argsort(key)
-    packed = jnp.concatenate(
-        [state.origin, state.direction, state.throughput, state.radiance], axis=-1
-    )[order]
+    cols = [state.origin, state.direction, state.throughput, state.radiance]
+    if state.prev_pdf is not None:
+        cols.append(state.prev_pdf[:, None])
+    packed = jnp.concatenate(cols, axis=-1)[order]
     d = packed[:, 3:6]
     inv = jnp.where(d == 0.0, jnp.inf, 1.0 / d)
     return _PathState(
@@ -369,6 +470,7 @@ def _compact(state: _PathState, fine_direction: bool = True) -> _PathState:
         radiance=packed[:, 9:12],
         pixel=state.pixel[order],
         active=state.active[order],
+        prev_pdf=packed[:, 12] if state.prev_pdf is not None else None,
     )
 
 
@@ -382,6 +484,7 @@ def _compact(state: _PathState, fine_direction: bool = True) -> _PathState:
         "samples",
         "bounces",
         "compaction",
+        "shadow_tracer",
     ),
 )
 def _pt_chunk(
@@ -398,6 +501,8 @@ def _pt_chunk(
     samples: int,
     bounces: int,
     compaction: bool,
+    lights=None,
+    shadow_tracer=None,
 ):
     """Trace ``samples`` spp of camera paths; returns ``(B0, bp, 3)`` RGB
     sums per packet-pixel (same layout as the parity frame renderer)."""
@@ -407,6 +512,7 @@ def _pt_chunk(
     return _pt_trace(
         tracer_state, materials, env, rays9, key,
         tracer=tracer, samples=samples, bounces=bounces, compaction=compaction,
+        lights=lights, shadow_tracer=shadow_tracer,
     )
 
 
@@ -421,9 +527,20 @@ def _pt_trace(
     samples: int,
     bounces: int,
     compaction: bool,
+    lights=None,
+    shadow_tracer=None,
 ):
     """The bounce loop for an arbitrary camera-ray batch ``rays9``
-    (whole frame or one device's shard). Returns ``(B0, bp, 3)`` sums."""
+    (whole frame or one device's shard). Returns ``(B0, bp, 3)`` sums.
+
+    When ``lights`` (a :class:`LightTable`) and ``shadow_tracer`` are given,
+    next-event estimation runs at every diffuse vertex: one explicit light
+    sample + occlusion ray per bounce, combined with BSDF sampling by the
+    MIS power heuristic (emitter hits through diffuse bounces are
+    down-weighted by the pdf NEE had for that direction; specular chains
+    keep full weight). Unbiased either way — NEE only moves variance.
+    """
+    nee = lights is not None and shadow_tracer is not None
     B0, _, S, LN = rays9.shape
     P0 = S * LN
     N = B0 * P0
@@ -438,6 +555,7 @@ def _pt_trace(
         radiance=jnp.zeros((N, 3), jnp.float32),
         pixel=pixel,
         active=jnp.ones((N,), bool),
+        prev_pdf=jnp.zeros((N,), jnp.float32) if nee else None,
     )
 
     for bounce in range(bounces):
@@ -453,7 +571,8 @@ def _pt_trace(
         hit = (kh.tri >= 0) & state.active
         missed = (~(kh.tri >= 0)) & state.active
 
-        # Environment on miss (terminates the path).
+        # Environment on miss (terminates the path). The environment is not
+        # light-sampled, so its contribution needs no MIS weight.
         env_rad = env.radiance(state.direction)
         radiance = state.radiance + jnp.where(
             missed[..., None], state.throughput * env_rad, 0.0
@@ -461,9 +580,18 @@ def _pt_trace(
 
         # BSDF sampling at hits.
         bkey = jax.random.fold_in(key, bounce + 1)
-        new_dir, atten, emitted, terminate = scatter(
+        new_dir, atten, emitted, terminate, bsdf_pdf, diffuse = scatter_full(
             materials, bkey, state.direction, kh.normal, kh.material
         )
+        if nee:
+            # MIS: weight the emitter hit by how likely BSDF sampling was
+            # to find it relative to NEE from the PREVIOUS vertex.
+            pdf_l = hit_light_pdf(lights, kh.tri, state.direction, kh.t)
+            pp = state.prev_pdf
+            w_b = jnp.where(
+                pp > 0.0, pp * pp / (pp * pp + pdf_l * pdf_l), 1.0
+            )
+            emitted = emitted * w_b[..., None]
         radiance = radiance + jnp.where(
             hit[..., None], state.throughput * emitted, 0.0
         )
@@ -474,6 +602,36 @@ def _pt_trace(
         point = state.origin + state.direction * kh.t[..., None]
         d_dot_n = jnp.sum(state.direction * kh.normal, axis=-1, keepdims=True)
         nf = jnp.where(d_dot_n < 0, kh.normal, -kh.normal)
+
+        if nee:
+            # Next-event estimation at diffuse vertices: sample one light
+            # point, trace the occlusion segment, add the MIS-weighted
+            # direct contribution.
+            cand = diffuse & hit
+            lkey = jax.random.fold_in(bkey, 11)
+            sh_o = point + nf * _EPS
+            y, wi, pdf_nee, em_l, cos_y = sample_lights(lights, lkey, sh_o)
+            cos_x = jnp.sum(wi * nf, axis=-1)
+            cand = cand & (cos_x > 0.0) & (cos_y > 1e-6) & (pdf_nee > 0.0)
+            # Park non-candidate lanes far outside the scene so their
+            # segments miss at the root instead of traversing.
+            sh_o_eff = jnp.where(cand[..., None], sh_o, 1e9)
+            seg_eff = jnp.where(cand[..., None], y - sh_o, 1.0)
+            occluded = shadow_tracer(tracer_state, sh_o_eff, seg_eff, live)
+            albedo = materials.albedo[kh.material]
+            w_nee = pdf_nee * pdf_nee / (
+                pdf_nee * pdf_nee + (cos_x / np.pi) ** 2
+            )
+            contrib = (
+                state.throughput
+                * (albedo / np.pi)
+                * em_l
+                * (cos_x / pdf_nee * w_nee)[..., None]
+            )
+            radiance = radiance + jnp.where(
+                (cand & ~occluded)[..., None], contrib, 0.0
+            )
+
         # Dielectric transmission crosses the surface: offset along the new
         # direction instead of the facing normal.
         offset_dir = jnp.where(
@@ -503,6 +661,7 @@ def _pt_trace(
             radiance=radiance,
             pixel=state.pixel,
             active=active,
+            prev_pdf=jnp.where(hit & diffuse, bsdf_pdf, 0.0) if nee else None,
         )
 
     # Paths still active after the bounce budget contribute nothing more.
@@ -523,6 +682,8 @@ def make_pt_renderer_sharded(
     bounces: int = 6,
     compaction: bool = True,
     axis: str = "d",
+    lights: LightTable | None = None,
+    shadow_tracer=None,
 ):
     """Multi-chip wavefront path tracer over a 1-D device mesh.
 
@@ -545,7 +706,9 @@ def make_pt_renderer_sharded(
     B_pad = -(-B // n_dev) * n_dev
     B_loc = B_pad // n_dev
 
-    def local_chunk(tracer_state, materials, env, sampler, key, samples: int):
+    def local_chunk(
+        tracer_state, materials, env, sampler, key, lights_arg, samples: int
+    ):
         d = jax.lax.axis_index(axis)
         key = jax.random.fold_in(key, d)
         from minipath_tpu.parallel.mesh import gen_rays9_blocks
@@ -558,6 +721,7 @@ def make_pt_renderer_sharded(
             tracer_state, materials, env, rays9, key,
             tracer=tracer, samples=samples, bounces=bounces,
             compaction=compaction,
+            lights=lights_arg, shadow_tracer=shadow_tracer,
         )
 
     cache = {}
@@ -568,7 +732,7 @@ def make_pt_renderer_sharded(
                 jax.shard_map(
                     partial(local_chunk, samples=samples),
                     mesh=mesh,
-                    in_specs=(P(), P(), P(), P(), P()),
+                    in_specs=(P(), P(), P(), P(), P(), P()),
                     out_specs=P(axis),
                     check_vma=False,
                 )
@@ -585,7 +749,7 @@ def make_pt_renderer_sharded(
             n = min(samples_per_packet, spp - done)
             part = chunk_fn(n)(
                 tracer_state, materials, env, sampler,
-                jax.random.fold_in(key, 1000 + chunk),
+                jax.random.fold_in(key, 1000 + chunk), lights,
             )
             acc = part if acc is None else acc + part
             done += n
@@ -616,15 +780,22 @@ def render_frame_pt(
     px_block=(16, 16),
     samples_per_packet: int = 8,
     compaction: bool = True,
+    lights: LightTable | None = None,
+    shadow_tracer=None,
 ) -> jnp.ndarray:
     """Path-traced frame: mean RGB + alpha=1, shape ``(H, W, 4)``.
 
     ``(tracer, tracer_state)`` comes from :func:`make_pallas_tracer` (TPU)
     or :func:`make_xla_tracer` (portable); keep the same tracer function
-    object across calls to reuse the jit cache.
+    object across calls to reuse the jit cache. Pass ``lights``
+    (:func:`minipath_tpu.scene.materials.build_light_table`) together with a
+    ``shadow_tracer`` (:func:`make_pt_shadow_tracer` /
+    :func:`make_xla_shadow_tracer`) to enable next-event estimation.
     """
     if env is None:
         env = Environment.sky()
+    if (lights is None) != (shadow_tracer is None):
+        raise ValueError("NEE needs both lights= and shadow_tracer=")
     bh, bw = px_block
     hc, wc = -(-height // bh), -(-width // bw)
     acc = None
@@ -645,6 +816,8 @@ def render_frame_pt(
             samples=n,
             bounces=bounces,
             compaction=compaction,
+            lights=lights,
+            shadow_tracer=shadow_tracer,
         )
         acc = part if acc is None else acc + part
         done += n

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 LAMBERTIAN = 0
@@ -56,6 +57,115 @@ def material_table(materials) -> MaterialTable:
         emission=jnp.asarray([m["emission"] for m in materials], jnp.float32),
         param=jnp.asarray([m["param"] for m in materials], jnp.float32),
     )
+
+
+class LightTable(NamedTuple):
+    """Emissive-triangle table for next-event estimation (NEE).
+
+    Built from the BVH's padded triangle packets: every triangle whose
+    material is EMISSIVE and whose area is non-zero (padding lanes are
+    degenerate, so they fall out naturally) becomes a light. Selection is
+    power-weighted (area x mean emission) via an inverse-CDF lookup.
+    Lights are two-sided, matching ``scatter``'s orientation-independent
+    emission.
+    """
+
+    v0: jnp.ndarray  # (L, 3) f32
+    e1: jnp.ndarray  # (L, 3) f32 edge v1-v0
+    e2: jnp.ndarray  # (L, 3) f32 edge v2-v0
+    normal: jnp.ndarray  # (L, 3) f32 unit geometric normal
+    area: jnp.ndarray  # (L,) f32
+    emission: jnp.ndarray  # (L, 3) f32
+    pmf: jnp.ndarray  # (L,) f32 selection probability
+    cdf: jnp.ndarray  # (L,) f32 inclusive cumulative pmf
+    tri_light: jnp.ndarray  # (M*8,) i32 padded-global tri id -> light id or -1
+
+
+def build_light_table(tri_packets, tri_material, materials: MaterialTable):
+    """Host-side light-table build; returns ``None`` when the scene has no
+    emissive triangles. ``tri_packets`` is the BVH's ``(M, 8, 3, 3)`` packed
+    vertex array and ``tri_material`` its ``(M*8,)`` material ids."""
+    tp = np.asarray(tri_packets, np.float64).reshape(-1, 3, 3)
+    mat = np.asarray(tri_material, np.int64)
+    kind = np.asarray(materials.kind)
+    e1 = tp[:, 1] - tp[:, 0]
+    e2 = tp[:, 2] - tp[:, 0]
+    n = np.cross(e1, e2)
+    area2 = np.linalg.norm(n, axis=-1)
+    is_light = (kind[mat] == EMISSIVE) & (area2 > 0)
+    idx = np.nonzero(is_light)[0]
+    if idx.size == 0:
+        return None
+    emission = np.asarray(materials.emission, np.float64)[mat[idx]]
+    area = area2[idx] * 0.5
+    power = area * emission.mean(axis=-1)
+    pmf = power / power.sum()
+    cdf = np.cumsum(pmf)
+    cdf[-1] = 1.0
+    tri_light = np.full(mat.shape[0], -1, np.int32)
+    tri_light[idx] = np.arange(idx.size, dtype=np.int32)
+    return LightTable(
+        v0=jnp.asarray(tp[idx, 0], jnp.float32),
+        e1=jnp.asarray(e1[idx], jnp.float32),
+        e2=jnp.asarray(e2[idx], jnp.float32),
+        normal=jnp.asarray(n[idx] / area2[idx, None], jnp.float32),
+        area=jnp.asarray(area, jnp.float32),
+        emission=jnp.asarray(emission, jnp.float32),
+        pmf=jnp.asarray(pmf, jnp.float32),
+        cdf=jnp.asarray(cdf, jnp.float32),
+        tri_light=jnp.asarray(tri_light),
+    )
+
+
+def sample_lights(lights: LightTable, key, x):
+    """Sample one light point per shading point ``x`` ``(N, 3)``.
+
+    Returns ``(y, wi, pdf_solid, emission, cos_y)``: the light point, the
+    unit direction towards it, the solid-angle pdf of having sampled that
+    direction (selection pmf x area-to-solid-angle), the light's radiance,
+    and the (two-sided) cosine at the light."""
+    ks, kt = jax.random.split(key)
+    n = x.shape[0]
+    u = jax.random.uniform(ks, (n,))
+    li = jnp.clip(
+        jnp.searchsorted(lights.cdf, u, side="left"), 0, lights.cdf.shape[0] - 1
+    )
+    v0 = lights.v0[li]
+    e1 = lights.e1[li]
+    e2 = lights.e2[li]
+    ln = lights.normal[li]
+    em = lights.emission[li]
+    pmf = lights.pmf[li]
+    area = lights.area[li]
+    r = jax.random.uniform(kt, (n, 2))
+    s = jnp.sqrt(r[:, 0])
+    bu = (1.0 - s)[:, None]
+    bv = (r[:, 1] * s)[:, None]
+    y = v0 + bu * e1 + bv * e2
+    seg = y - x
+    dist2 = jnp.sum(seg * seg, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    wi = seg / dist[:, None]
+    cos_y = jnp.abs(jnp.sum(wi * ln, axis=-1))
+    pdf_solid = pmf / area * dist2 / jnp.maximum(cos_y, 1e-8)
+    return y, wi, pdf_solid, em, cos_y
+
+
+def hit_light_pdf(lights: LightTable, tri, direction, t):
+    """Solid-angle pdf that NEE would have sampled the emitter hit by a
+    BSDF ray (``tri`` global padded ids, unit ``direction``, distance
+    ``t``) — the other half of the MIS power heuristic. 0 for non-lights."""
+    li = lights.tri_light[jnp.maximum(tri, 0)]
+    valid = (tri >= 0) & (li >= 0)
+    lis = jnp.maximum(li, 0)
+    cos_y = jnp.abs(jnp.sum(direction * lights.normal[lis], axis=-1))
+    pdf = (
+        lights.pmf[lis]
+        / lights.area[lis]
+        * (t * t)
+        / jnp.maximum(cos_y, 1e-8)
+    )
+    return jnp.where(valid, pdf, 0.0)
 
 
 class Environment(NamedTuple):

@@ -69,6 +69,44 @@ class TestEndToEnd:
         diff = np.abs(img[..., 0][m] - want[..., 0][m])
         assert np.quantile(diff, 0.95) <= 16.0
 
+    def test_cube_teapot_combined_16spp_parity(self):
+        # BASELINE.json config: "cube.obj + teapot combined scene, 16 spp,
+        # stratified pixel sampling parity check". The reference renderer is
+        # OS-seeded (SmallRng, worker.rs:25) so parity is Monte Carlo
+        # mean-parity against the brute-force oracle, per SURVEY.md §7(e).
+        from minipath_tpu.scene.obj_loader import load_obj
+        from minipath_tpu.scene.procedural import merge_meshes, transform_mesh
+
+        teapot = load_obj("/root/reference/data/teapot.obj")
+        cube = transform_mesh(
+            make_cube(1.6), translate=(-3.0, 0.8, 0.0), rotate_y=0.5
+        )
+        mesh = merge_meshes([teapot, cube])
+        obj = TriangleBvh.build(mesh)
+        camera = (
+            Camera().look_at((0, 2.5, 9), (-0.8, 1.0, 0)).f_number(32.0)
+        )
+        w, h = 96, 64
+        spp = 16
+        settings = RenderSettings(
+            tile_size=32, sample_count=spp, resolution=(w, h)
+        )
+        progress = render(Scene(obj), camera, settings, seed=0)
+        progress.wait()
+        img = progress.image().astype(np.float64)
+        want = _oracle_image(obj, camera, w, h, spp, seed=1).astype(np.float64)
+
+        # Both objects must be visible (teapot center, cube left).
+        assert img[..., 3].mean() > 30.0
+        assert abs(img[..., 3].mean() - want[..., 3].mean()) < 4.0
+        m = (img[..., 3] > 250) & (want[..., 3] > 250)
+        assert m.sum() > 200
+        np.testing.assert_allclose(
+            img[..., 0][m].mean(), want[..., 0][m].mean(), atol=2.0
+        )
+        diff = np.abs(img[..., 0][m] - want[..., 0][m])
+        assert np.quantile(diff, 0.95) <= 16.0
+
     def test_progress_and_callbacks(self):
         mesh = make_cube(2.0)
         obj = TriangleBvh.build(mesh)

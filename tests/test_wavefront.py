@@ -209,3 +209,143 @@ def test_pallas_tracer_pads_ragged_ray_counts(rng):
     assert got.t.shape == (n,)
     np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(want.tri))
     np.testing.assert_allclose(np.asarray(got.t), np.asarray(want.t), rtol=1e-5)
+
+
+def _floor_and_panel_scene(panel_size=20.0, panel_y=8.0, strength=2.0):
+    """Lambertian floor (mat 0) + emissive panel ABOVE the test camera
+    (mat 1) — cameras look down from y=5, so they see lit floor, not panel."""
+    from minipath_tpu.scene.procedural import merge_meshes
+
+    floor = make_quad(100.0)
+    pos = floor.positions.copy()
+    floor.positions = np.stack([pos[:, 0], pos[:, 2], pos[:, 1]], axis=-1)
+    panel = make_quad(panel_size)
+    ppos = panel.positions.copy()
+    panel.positions = np.stack(
+        [ppos[:, 0], np.full_like(ppos[:, 2], panel_y), ppos[:, 1]], axis=-1
+    )
+    mesh = merge_meshes([floor, panel])
+    mats = np.zeros(mesh.triangle_count, np.int32)
+    mats[floor.triangle_count:] = 1
+    obj = TriangleBvh.build(mesh, materials=mats)
+    table = material_table(
+        [lambertian((0.6, 0.6, 0.6)), emissive((1.0, 1.0, 1.0), strength)]
+    )
+    return obj, table
+
+
+def _nee_bits(obj, table):
+    from minipath_tpu.render.wavefront import make_xla_shadow_tracer
+    from minipath_tpu.scene.materials import build_light_table
+
+    arrays = obj.host_arrays
+    lights = build_light_table(arrays.tri_packets, arrays.tri_material, table)
+    shadow = make_xla_shadow_tracer(
+        obj.arrays, stack_size=obj.recommended_stack_size, packet_size=256
+    )
+    return lights, shadow
+
+
+class TestNee:
+    def test_light_table(self):
+        from minipath_tpu.scene.materials import build_light_table, sample_lights
+
+        obj, table = _floor_and_panel_scene()
+        arrays = obj.host_arrays
+        lights = build_light_table(arrays.tri_packets, arrays.tri_material, table)
+        assert lights is not None
+        assert lights.v0.shape[0] == 2  # panel = 2 triangles
+        np.testing.assert_allclose(float(lights.pmf.sum()), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.abs(np.asarray(lights.normal)[:, 1]), 1.0, atol=1e-6
+        )
+        # Mapping: every light id round-trips through tri_light.
+        tl = np.asarray(lights.tri_light)
+        assert (np.sort(tl[tl >= 0]) == np.arange(2)).all()
+        # Sampled points lie on the panel plane, inside its extent.
+        x = jnp.asarray(np.tile([0.0, 0.0, 0.0], (64, 1)), jnp.float32)
+        y, wi, pdf, em, cos_y = sample_lights(lights, jax.random.key(0), x)
+        y = np.asarray(y)
+        np.testing.assert_allclose(y[:, 1], 8.0, atol=1e-5)
+        assert (np.abs(y[:, [0, 2]]) <= 10.0 + 1e-4).all()
+        assert (np.asarray(pdf) > 0).all()
+        # No scene with no emitters -> None.
+        obj2, table2 = _floor_scene(lambertian((0.5, 0.5, 0.5)))
+        a2 = obj2.host_arrays
+        assert build_light_table(a2.tri_packets, a2.tri_material, table2) is None
+
+    def test_shadow_tracer(self):
+        from minipath_tpu.render.wavefront import make_xla_shadow_tracer
+
+        obj, _ = _floor_and_panel_scene()
+        shadow = make_xla_shadow_tracer(
+            obj.arrays, stack_size=obj.recommended_stack_size, packet_size=128
+        )
+        n = 128
+        o = np.tile(np.array([0, 1, 0], np.float32), (n, 1))
+        # First half: segments up to the panel (unoccluded). Second half:
+        # segments that pass through the floor to y=-1 (occluded).
+        seg = np.tile(np.array([0, 3, 0], np.float32), (n, 1))
+        seg[n // 2:] = [0, -2, 0]
+        occ = np.asarray(shadow(obj.arrays, jnp.asarray(o), jnp.asarray(seg)))
+        assert not occ[: n // 2].any()
+        assert occ[n // 2:].all()
+        # Segment that stops just short of the floor is unoccluded.
+        seg2 = np.tile(np.array([0, -0.9, 0], np.float32), (n, 1))
+        occ2 = np.asarray(shadow(obj.arrays, jnp.asarray(o), jnp.asarray(seg2)))
+        assert not occ2.any()
+
+    def test_nee_mean_matches_bsdf_only(self):
+        # NEE + MIS is unbiased: same estimator mean as pure BSDF sampling,
+        # within Monte Carlo noise. Black environment isolates the panel.
+        obj, table = _floor_and_panel_scene()
+        lights, shadow = _nee_bits(obj, table)
+        cam = _down_camera()
+        env = Environment.none()
+        sampler = cam.build_sampler((16, 16))
+        tr, tr_state = _tracer(obj)
+        kw = dict(
+            width=16, height=16, bounces=3, env=env,
+            px_block=(16, 16),
+        )
+        a = np.asarray(render_frame_pt(
+            tr, tr_state, table, sampler, jax.random.key(1),
+            spp=96, samples_per_packet=32, **kw,
+        ))
+        b = np.asarray(render_frame_pt(
+            tr, tr_state, table, sampler, jax.random.key(2),
+            spp=96, samples_per_packet=32,
+            lights=lights, shadow_tracer=shadow, **kw,
+        ))
+        assert b[..., :3].mean() > 0.05  # light actually contributes
+        np.testing.assert_allclose(
+            a[..., :3].mean(), b[..., :3].mean(), rtol=0.12
+        )
+
+    def test_nee_reduces_variance(self):
+        # With a SMALL light, BSDF sampling rarely finds it; NEE turns the
+        # same mean into a far lower-variance estimate.
+        obj, table = _floor_and_panel_scene(panel_size=2.0, strength=20.0)
+        lights, shadow = _nee_bits(obj, table)
+        cam = _down_camera()
+        env = Environment.none()
+        sampler = cam.build_sampler((8, 8))
+        tr, tr_state = _tracer(obj)
+        kw = dict(
+            width=8, height=8, spp=4, bounces=2, env=env,
+            px_block=(8, 8), samples_per_packet=4,
+        )
+
+        def frames(**extra):
+            return np.stack([
+                np.asarray(render_frame_pt(
+                    tr, tr_state, table, sampler, jax.random.key(100 + i), **kw, **extra
+                ))[..., :3]
+                for i in range(6)
+            ])
+
+        fb = frames()
+        fn = frames(lights=lights, shadow_tracer=shadow)
+        var_b = fb.var(axis=0).mean()
+        var_n = fn.var(axis=0).mean()
+        assert var_n < var_b * 0.5, (var_n, var_b)

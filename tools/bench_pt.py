@@ -37,25 +37,11 @@ from minipath_tpu.scene.procedural import make_atrium
 
 
 def build_scene():
+    from minipath_tpu.scene.procedural import atrium_materials
+
     mesh = make_atrium(250_000)
-    # Assign materials by height band: floor/walls diffuse, columns rough
-    # metal, props mixed, a few emissive.
-    T = mesh.triangle_count
-    tri_y = mesh.positions[mesh.triangles][:, :, 1].mean(axis=1)
-    rng = np.random.default_rng(11)
-    mats = np.zeros(T, np.int32)
-    mats[tri_y > 10.0] = 4  # ceiling emissive panels
-    props = (tri_y > 0.1) & (tri_y < 4.0)
-    mats[props] = rng.integers(1, 4, props.sum())
-    table = material_table(
-        [
-            lambertian((0.65, 0.62, 0.58)),  # 0 structure
-            lambertian((0.7, 0.3, 0.25)),  # 1
-            metal((0.85, 0.8, 0.7), 0.15),  # 2
-            dielectric(1.5),  # 3
-            emissive((1.0, 0.95, 0.85), 4.0),  # 4
-        ]
-    )
+    mats, dicts = atrium_materials(mesh)
+    table = material_table(dicts)
     if native.is_available():
         res = native.build_bvh_native(mesh, materials=mats, leaf_max=24)
     else:
