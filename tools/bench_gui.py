@@ -90,7 +90,11 @@ def main():
         "warm_first_tile_s": round(min(x for x in (first_warm, first_warm2) if x is not None), 3),
         "tiles": tiles_warm,
         "warm_tiles_per_s": round(tiles_warm / done_warm, 1),
-        "interactive": bool(min(done_warm, done_warm2) < 1.0),
+        # Interactivity = first visual feedback after a camera move; the
+        # full preview keeps streaming in behind it (progressive tiles).
+        "first_feedback_under_1s": bool(
+            min(x for x in (first_warm, first_warm2) if x is not None) < 1.0
+        ),
     }
     with open(os.path.join(REPO, "GUI_PREVIEW.json"), "w") as f:
         json.dump(out, f, indent=2)

@@ -106,6 +106,41 @@ def main():
             f"mean_rgb={m.round(4)}",
             flush=True,
         )
+    # NEE variant: explicit light sampling (the emissive ceiling panels)
+    # with MIS — one shadow-ray kernel per bounce on top of the trace.
+    from minipath_tpu.render.wavefront import make_pt_shadow_tracer
+    from minipath_tpu.scene.materials import build_light_table
+
+    lights = build_light_table(res.arrays.tri_packets, res.arrays.tri_material, table)
+    shadow = make_pt_shadow_tracer(
+        scene, stack_size=res.recommended_stack_size, packet_size=2048
+    )
+
+    def frame_nee(k):
+        img = render_frame_pt(
+            tracer, tracer_state, table, sampler, k,
+            width=W, height=H, spp=SPP, bounces=BOUNCES,
+            env=Environment.sky(), samples_per_packet=min(8, SPP),
+            compaction=True, lights=lights, shadow_tracer=shadow,
+        )
+        return jnp.mean(img[..., :3], axis=(0, 1))
+
+    t0 = time.time()
+    m = np.asarray(frame_nee(key))
+    print(f"nee warmup (incl compile): {time.time()-t0:.1f}s mean={m}", flush=True)
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        m = np.asarray(frame_nee(jax.random.fold_in(key, 20 + i)))
+        times.append(time.time() - t0)
+    results["nee"] = (np.array(times), m)
+    print(
+        f"nee: {results['nee'][0].mean():.2f}s/frame  "
+        f"{W*H*SPP/results['nee'][0].mean()/1e6:.2f} Mpaths/s  "
+        f"mean_rgb={m.round(4)}",
+        flush=True,
+    )
+
     wf, mk = results["wavefront"], results["megakernel"]
     speedup = mk[0].mean() / wf[0].mean()
     delta = float(np.abs(wf[1] - mk[1]).max())
@@ -123,6 +158,15 @@ def main():
         "megakernel_mean_s": round(float(mk[0].mean()), 3),
         "wavefront_vs_megakernel": round(float(speedup), 2),
         "estimator_mean_delta": round(delta, 5),
+        "nee_mean_s": round(float(results["nee"][0].mean()), 3),
+        "nee_mpaths_per_s": round(W * H * SPP / results["nee"][0].mean() / 1e6, 3),
+        "nee_mean_delta": round(float(np.abs(results["nee"][1] - wf[1]).max()), 5),
+        # Both estimators are unbiased for the infinite series; at a fixed
+        # bounce budget NEE additionally collects direct light at the FINAL
+        # path vertex (a shadow ray is not a bounce), so its mean sits
+        # slightly above the BSDF-only truncation. The delta shrinks as the
+        # bounce budget grows.
+        "nee_note": "delta vs wavefront = extra final-vertex direct light, not bias",
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "BENCH_pt.json"), "w") as f:
