@@ -1073,6 +1073,7 @@ def _traverse_kernel_pt(
     stack_size: int,
     sort_children: bool = True,
     pop2: bool = False,
+    anyhit: bool = False,
 ):
     S, LANES = rays_ref.shape[2], rays_ref.shape[3]
     ox = rays_ref[0, 0]
@@ -1215,6 +1216,15 @@ def _traverse_kernel_pt(
                 best_t = jnp.where(ok, t, best_t)
                 bu = jnp.where(ok, u, bu)
                 bv = jnp.where(ok, v, bv)
+            if anyhit:
+                # Occlusion mode: any hit finishes the lane. best_t = -1
+                # fails every later slab test (t1 >= 0 > t2) and MT
+                # (t < best_t), so finished lanes stop contributing to the
+                # packet's traversal union. t/u/v outputs are then
+                # meaningless; `tri` marks a (not necessarily closest) hit.
+                best_t = jnp.where(
+                    best_tri >= 0, jnp.float32(-1.0), best_t
+                )
             return best_t, best_tri, bu, bv
 
         return jax.lax.fori_loop(
@@ -1333,7 +1343,7 @@ def _traverse_kernel_pt(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "stack_size", "t_max", "interpret", "sort_children", "pop2"
+        "stack_size", "t_max", "interpret", "sort_children", "pop2", "anyhit"
     ),
 )
 def trace_packets_pallas_pt(
@@ -1346,9 +1356,12 @@ def trace_packets_pallas_pt(
     live_packets=None,
     sort_children: bool = True,
     pop2: bool = False,
+    anyhit: bool = False,
 ):
     """Lean closest-hit trace (see the section comment above). Returns
-    :class:`PTHits` with ``(B, P)`` fields; shading is the caller's job."""
+    :class:`PTHits` with ``(B, P)`` fields; shading is the caller's job.
+    With ``anyhit=True`` only ``tri >= 0`` (occlusion) is meaningful and
+    lanes retire on their first hit under ``t_max``."""
     B, _, S, LANES = rays9.shape
     P = S * LANES
     kernel = functools.partial(
@@ -1357,6 +1370,7 @@ def trace_packets_pallas_pt(
         stack_size=int(stack_size),
         sort_children=sort_children,
         pop2=pop2,
+        anyhit=anyhit,
     )
     if live_packets is None:
         live_packets = B

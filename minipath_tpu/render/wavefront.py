@@ -349,6 +349,7 @@ def make_pt_shadow_tracer(
             t_max=_SHADOW_T_MAX,
             interpret=interpret,
             live_packets=live_packets,
+            anyhit=True,
         )
         return ph.tri.reshape(Np)[:N] >= 0
 

@@ -197,6 +197,85 @@ def case_sharded_pt():
     assert (err < 0.25).mean() > 0.97, float((err < 0.25).mean())
 
 
+def case_sharded_pt_nee():
+    """Sharded NEE (lights replicated through shard_map, device-local
+    shadow rays) matches the single-device NEE render."""
+    import numpy as np
+    import jax
+
+    from minipath_tpu.camera import Camera
+    from minipath_tpu.parallel.mesh import make_device_mesh
+    from minipath_tpu.render.wavefront import (
+        make_pt_renderer_sharded,
+        make_xla_shadow_tracer,
+        make_xla_tracer,
+        render_frame_pt,
+    )
+    from minipath_tpu.scene.materials import (
+        Environment,
+        build_light_table,
+        emissive,
+        lambertian,
+        material_table,
+    )
+    from minipath_tpu.scene.procedural import make_quad, merge_meshes
+    from minipath_tpu.scene.triangle_bvh import TriangleBvh
+
+    floor = make_quad(40.0)
+    pos = floor.positions.copy()
+    floor.positions = np.stack([pos[:, 0], pos[:, 2], pos[:, 1]], axis=-1)
+    panel = make_quad(6.0)
+    ppos = panel.positions.copy()
+    panel.positions = np.stack(
+        [ppos[:, 0], np.full_like(ppos[:, 2], 8.0), ppos[:, 1]], axis=-1
+    )
+    mesh_data = merge_meshes([floor, panel])
+    mats = np.zeros(mesh_data.triangle_count, np.int32)
+    mats[floor.triangle_count:] = 1
+    obj = TriangleBvh.build(mesh_data, materials=mats)
+    table = material_table(
+        [lambertian((0.6, 0.6, 0.6)), emissive((1.0, 1.0, 1.0), 3.0)]
+    )
+    env = Environment.none()
+    camera = Camera().look_direction((0, 5, 0), (0, -1, 0), (0, 0, 1))
+    w = h = 32
+    spp = 8
+    sampler = camera.build_sampler((w, h))
+    key = jax.random.key(5)
+    tracer, tstate = make_xla_tracer(
+        obj.arrays, stack_size=obj.recommended_stack_size, packet_size=256
+    )
+    shadow = make_xla_shadow_tracer(
+        obj.arrays, stack_size=obj.recommended_stack_size, packet_size=256
+    )
+    arrays = obj.host_arrays
+    lights = build_light_table(arrays.tri_packets, arrays.tri_material, table)
+    assert lights is not None
+    single = np.asarray(
+        render_frame_pt(
+            tracer, tstate, table, sampler, key,
+            width=w, height=h, spp=spp, bounces=3, env=env,
+            px_block=(16, 16), samples_per_packet=spp,
+            lights=lights, shadow_tracer=shadow,
+        )
+    )
+    mesh = make_device_mesh(8)
+    renderer = make_pt_renderer_sharded(
+        mesh, tracer, width=w, height=h, px_block=(16, 16),
+        samples_per_packet=spp, bounces=3,
+        lights=lights, shadow_tracer=shadow,
+    )
+    sharded = np.asarray(renderer(tstate, table, sampler, key, spp, env=env))
+    assert sharded.shape == single.shape == (h, w, 4)
+    assert np.isfinite(sharded).all()
+    assert single[..., :3].mean() > 0.02  # the panel lights the floor
+    for c in range(3):
+        a, b = single[..., c].mean(), sharded[..., c].mean()
+        assert abs(a - b) < 0.05, (c, a, b)
+    err = np.abs(single[..., :3] - sharded[..., :3])
+    assert (err < 0.25).mean() > 0.97, float((err < 0.25).mean())
+
+
 def case_graft_multichip():
     import __graft_entry__ as g
 

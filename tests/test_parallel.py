@@ -93,3 +93,7 @@ def test_machinery_mesh_identical():
 
 def test_sharded_path_tracer():
     _run_case("sharded_pt")
+
+
+def test_sharded_path_tracer_nee():
+    _run_case("sharded_pt_nee")

@@ -349,3 +349,38 @@ class TestNee:
         var_b = fb.var(axis=0).mean()
         var_n = fn.var(axis=0).mean()
         assert var_n < var_b * 0.5, (var_n, var_b)
+
+
+def test_pallas_shadow_tracer_anyhit_matches_closest(rng):
+    """The anyhit occlusion kernel must report exactly the same occluded
+    set as a closest-hit trace with the same t_max."""
+    from minipath_tpu.render.pallas_kernels import (
+        prepare_scene_pt,
+        trace_packets_pallas_pt,
+    )
+    from minipath_tpu.render.wavefront import make_pt_shadow_tracer
+
+    obj, _ = _floor_and_panel_scene()
+    sp = prepare_scene_pt(obj.host_arrays)
+    shadow = make_pt_shadow_tracer(
+        sp, stack_size=obj.recommended_stack_size, packet_size=128,
+        interpret=True,
+    )
+    n = 128
+    o = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.5, 7.5, n)
+    tgt = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    tgt[:, 1] = rng.uniform(-2.0, 9.5, n)
+    seg = tgt - o
+    occ = np.asarray(shadow(sp, jnp.asarray(o), jnp.asarray(seg)))
+    # Oracle: closest-hit with the same segment parameterization.
+    inv = np.where(seg == 0, np.inf, 1.0 / seg).astype(np.float32)
+    r9 = jnp.asarray(np.concatenate([o, seg, inv], -1)).reshape(1, n, 9)
+    r9 = jnp.swapaxes(r9, 1, 2).reshape(1, 9, 1, 128)
+    ph = trace_packets_pallas_pt(
+        sp, r9, stack_size=obj.recommended_stack_size,
+        t_max=1.0 - 1e-3, interpret=True,
+    )
+    want = np.asarray(ph.tri).reshape(n) >= 0
+    np.testing.assert_array_equal(occ, want)
+    assert occ.any() and not occ.all()  # both classes exercised
