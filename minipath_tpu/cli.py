@@ -202,16 +202,18 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
                 )
         except ValueError:
             # Scene too big for the f32 VMEM budget: quantized full kernel.
+            from minipath_tpu.render.wavefront import make_q_shadow_tracer
+
             tracer, tracer_state = make_pallas_tracer(
                 bvh.pallas_scene,
                 stack_size=bvh.recommended_stack_size,
                 packet_size=2048,
             )
             if args.nee:
-                print(
-                    "--nee unsupported with the quantized fallback kernel; "
-                    "continuing without light sampling",
-                    file=sys.stderr,
+                shadow_tracer = make_q_shadow_tracer(
+                    bvh.pallas_scene,
+                    stack_size=bvh.recommended_stack_size,
+                    packet_size=2048,
                 )
     lights = None
     if args.nee and shadow_tracer is not None:

@@ -356,6 +356,51 @@ def make_pt_shadow_tracer(
     return shadow
 
 
+def make_q_shadow_tracer(
+    scene,
+    *,
+    stack_size: int,
+    packet_size: int = 2048,
+    interpret: bool = False,
+):
+    """Occlusion tracer over the 16-bit quantized kernel (for scenes past
+    the f32 VMEM budget; same contract as :func:`make_pt_shadow_tracer`).
+    Occlusion inherits the quantized tolerance: hits within ~box/65535 of
+    the segment end may classify either way."""
+    from minipath_tpu.render.pallas_kernels import trace_packets_pallas_q
+
+    assert packet_size % 128 == 0, packet_size
+
+    def shadow(state, origin, segment, live_rays=None):
+        N = origin.shape[0]
+        Np = -(-N // packet_size) * packet_size
+        if Np != N:
+            pad = jnp.arange(Np - N) % N
+            origin = jnp.concatenate([origin, origin[pad]], axis=0)
+            segment = jnp.concatenate([segment, segment[pad]], axis=0)
+        B = Np // packet_size
+        live_packets = None
+        if live_rays is not None:
+            live_packets = (
+                jnp.asarray(live_rays, jnp.int32) + packet_size - 1
+            ) // packet_size
+        inv = jnp.where(segment == 0.0, jnp.inf, 1.0 / segment)
+        r9 = jnp.concatenate([origin, segment, inv], axis=-1)
+        r9 = jnp.swapaxes(r9.reshape(B, packet_size, 9), 1, 2)
+        r9 = r9.reshape(B, 9, packet_size // 128, 128)
+        kh = trace_packets_pallas_q(
+            state,
+            r9,
+            stack_size=stack_size,
+            t_max=_SHADOW_T_MAX,
+            interpret=interpret,
+            live_packets=live_packets,
+        )
+        return kh.tri.reshape(Np)[:N] >= 0
+
+    return shadow
+
+
 def make_xla_shadow_tracer(bvh, *, stack_size: int, packet_size: int = 256):
     """Portable occlusion tracer (same contract as
     :func:`make_pt_shadow_tracer`) over the pure-XLA engine."""

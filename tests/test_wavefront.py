@@ -384,3 +384,35 @@ def test_pallas_shadow_tracer_anyhit_matches_closest(rng):
     want = np.asarray(ph.tri).reshape(n) >= 0
     np.testing.assert_array_equal(occ, want)
     assert occ.any() and not occ.all()  # both classes exercised
+
+
+def test_q_shadow_tracer_matches_xla(rng):
+    """Quantized-kernel occlusion agrees with the XLA shadow tracer away
+    from the quantization tolerance band."""
+    from minipath_tpu.render.pallas_kernels import prepare_scene_quantized
+    from minipath_tpu.render.wavefront import (
+        make_q_shadow_tracer,
+        make_xla_shadow_tracer,
+    )
+
+    obj, _ = _floor_and_panel_scene()
+    qscene = prepare_scene_quantized(obj.host_arrays)
+    qshadow = make_q_shadow_tracer(
+        qscene, stack_size=obj.recommended_stack_size, packet_size=128,
+        interpret=True,
+    )
+    xshadow = make_xla_shadow_tracer(
+        obj.arrays, stack_size=obj.recommended_stack_size, packet_size=128
+    )
+    n = 128
+    o = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.5, 7.0, n)
+    tgt = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    # Targets well clear of surfaces (floor y=0, panel y=8) so quantized
+    # boxes can't flip the classification.
+    tgt[:, 1] = np.where(rng.uniform(size=n) < 0.5, -2.0, 7.0)
+    seg = tgt - o
+    qo = np.asarray(qshadow(qscene, jnp.asarray(o), jnp.asarray(seg)))
+    xo = np.asarray(xshadow(obj.arrays, jnp.asarray(o), jnp.asarray(seg)))
+    np.testing.assert_array_equal(qo, xo)
+    assert qo.any() and not qo.all()
