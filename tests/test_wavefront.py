@@ -416,3 +416,45 @@ def test_q_shadow_tracer_matches_xla(rng):
     xo = np.asarray(xshadow(obj.arrays, jnp.asarray(o), jnp.asarray(seg)))
     np.testing.assert_array_equal(qo, xo)
     assert qo.any() and not qo.all()
+
+
+def test_mis_pdfs_are_consistent():
+    """The two halves of the MIS power heuristic must see the SAME light
+    pdf for the same transport path: hit_light_pdf (BSDF side, from tri id
+    + direction + distance) equals sample_lights' pdf_solid (NEE side) for
+    the sampled point, so the pair of weights sums to 1."""
+    from minipath_tpu.scene.materials import (
+        build_light_table,
+        hit_light_pdf,
+        sample_lights,
+    )
+
+    obj, table = _floor_and_panel_scene()
+    arrays = obj.host_arrays
+    lights = build_light_table(arrays.tri_packets, arrays.tri_material, table)
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(-4, 4, (64, 3)).astype(np.float32)
+        * [1, 0, 1]
+    )
+    y, wi, pdf_nee, em, cos_y = sample_lights(lights, jax.random.key(2), x)
+    dist = jnp.sqrt(jnp.sum((y - x) ** 2, axis=-1))
+    # Identify the light triangle each sampled point belongs to via its
+    # padded-global id. tri_light maps global -> light; invert it.
+    tl = np.asarray(lights.tri_light)
+    light_to_tri = {li: gi for gi, li in enumerate(tl) if li >= 0}
+    # Recover each sample's light id from its plane/extent (all panel tris
+    # share the plane) by checking both candidates' pdf against pdf_nee.
+    ok = np.zeros(64, bool)
+    pn = np.asarray(pdf_nee)
+    for li, gi in light_to_tri.items():
+        tri = jnp.full((64,), gi, jnp.int32)
+        pb = np.asarray(hit_light_pdf(lights, tri, wi, dist))
+        # Within each sample, ONE of the lights must reproduce pdf_nee
+        # exactly (up to fp noise) scaled by its own pmf/area.
+        ok |= np.isclose(pb, pn, rtol=2e-4)
+    assert ok.all()
+    # And the power-heuristic weights built from equal pdfs sum to 1.
+    pdf_b = jnp.maximum(jnp.sum(wi * jnp.asarray([0, 1, 0], jnp.float32), -1), 0) / np.pi
+    w_nee = pn**2 / (pn**2 + np.asarray(pdf_b) ** 2)
+    w_b = np.asarray(pdf_b) ** 2 / (pn**2 + np.asarray(pdf_b) ** 2)
+    np.testing.assert_allclose(w_nee + w_b, 1.0, rtol=1e-5)
