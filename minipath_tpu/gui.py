@@ -142,6 +142,93 @@ class GuiController:
         self.cancel_previous_render()
 
 
+class ProgressivePtController:
+    """Progressive path-traced viewport (beyond the reference GUI, whose
+    full mode is 2-spp parity shading — ``gui.rs:216-224``).
+
+    A worker thread accumulates fixed-spp path-traced frames forever; the
+    displayed image is the running mean (gamma 2.2). Camera moves bump a
+    generation counter, which restarts accumulation with a freshly built
+    frame function at the next loop iteration — the reference's
+    abort-and-restart-preview semantics (``gui.rs:106-135``) at whole-frame
+    granularity. Implements the same controller protocol ``run_tk`` drives
+    (start/update/display_image/move_camera/shutdown).
+    """
+
+    def __init__(self, make_frame, camera, resolution):
+        # make_frame(camera) -> callable(chunk_index) -> (H, W, >=3) float
+        # linear-RGB mean image for that chunk (one compiled spp chunk).
+        self.make_frame = make_frame
+        self.camera = camera
+        self.resolution = tuple(resolution)
+        w, h = self.resolution
+        self._acc = np.zeros((h, w, 3), np.float64)
+        self._n = 0
+        self._seen = 0
+        self._gen = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        gen = -1
+        frame = None
+        i = 0
+        while not self._stop.is_set():
+            with self._lock:
+                cur_gen, camera = self._gen, self.camera
+            if cur_gen != gen:
+                gen, i = cur_gen, 0
+                frame = self.make_frame(camera)
+                with self._lock:
+                    self._acc[:] = 0.0
+                    self._n = 0
+            img = np.asarray(frame(i), np.float64)[..., :3]
+            i += 1
+            with self._lock:
+                if self._gen != gen:
+                    continue  # camera moved mid-frame; drop the result
+                self._acc += img
+                self._n += 1
+
+    # -- controller protocol -----------------------------------------------------
+
+    def update(self) -> bool:
+        with self._lock:
+            dirty = self._n != self._seen
+            self._seen = self._n
+        return dirty
+
+    def move_camera(self, dx: float, dy: float, dz: float):
+        m = np.eye(4)
+        m[:3, 3] = [dx, dy, dz]
+        with self._lock:
+            self.camera = self.camera.transformed(m)
+            self._gen += 1
+
+    def samples(self) -> int:
+        with self._lock:
+            return self._n
+
+    def display_image(self) -> np.ndarray:
+        w, h = self.resolution
+        with self._lock:
+            if self._n == 0:
+                return np.zeros((h, w, 3), np.uint8)
+            mean = self._acc / self._n
+        srgb = np.clip(mean, 0.0, 1.0) ** (1.0 / 2.2)
+        return (srgb * 255.0 + 0.5).astype(np.uint8)
+
+    def shutdown(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30.0)
+
+
 def run_tk(controller: GuiController, fps: int = 30):
     """Run the Tk event loop around a controller (requires a display)."""
     import tkinter as tk
@@ -197,6 +284,10 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--tile-size", type=int, default=64)
     p.add_argument("--full-spp", type=int, default=2)
+    p.add_argument(
+        "--integrator", choices=["parity", "pt"], default="parity",
+        help="pt = progressive path-traced viewport (accumulates spp forever)",
+    )
     args = p.parse_args(argv)
 
     from minipath_tpu.cli import load_scene
@@ -204,23 +295,71 @@ def main(argv=None) -> int:
     class _SceneArgs:
         obj = args.obj
         scene = "obj"
+        integrator = args.integrator
 
-    bvh, _ = load_scene(_SceneArgs)
+    bvh, material_dicts = load_scene(_SceneArgs)
     camera = (
         Camera()
         .look_at((0.0, 2.0, 10.0), (0.0, 1.5, 0.0))
         .f_number(4.8)
         .focus_distance(10.0)
     )
-    controller = GuiController(
-        Scene(bvh),
-        camera,
-        (args.width, args.height),
-        tile_size=args.tile_size,
-        full_spp=args.full_spp,
-    )
+    if args.integrator == "pt":
+        controller = _make_pt_controller(
+            args, bvh, camera, material_dicts
+        )
+    else:
+        controller = GuiController(
+            Scene(bvh),
+            camera,
+            (args.width, args.height),
+            tile_size=args.tile_size,
+            full_spp=args.full_spp,
+        )
     run_tk(controller)
     return 0
+
+
+def _make_pt_controller(args, bvh, camera, material_dicts):
+    """Build a ProgressivePtController over the best available tracer."""
+    import jax
+
+    from minipath_tpu.render.wavefront import (
+        make_pt_tracer,
+        make_xla_tracer,
+        render_frame_pt,
+    )
+    from minipath_tpu.scene.materials import lambertian, material_table
+
+    table = material_table(
+        material_dicts
+        if material_dicts is not None
+        else [lambertian((0.73, 0.73, 0.73))]
+    )
+    if jax.default_backend() == "cpu":
+        tracer, tstate = make_xla_tracer(
+            bvh.arrays, stack_size=bvh.recommended_stack_size, packet_size=256
+        )
+    else:
+        tracer, tstate = make_pt_tracer(
+            bvh.pt_scene, stack_size=bvh.recommended_stack_size, packet_size=2048
+        )
+    w, h = args.width, args.height
+
+    def make_frame(cam):
+        sampler = cam.build_sampler((w, h))
+
+        def frame(i):
+            return np.asarray(render_frame_pt(
+                tracer, tstate, table, sampler,
+                jax.random.key(i),
+                width=w, height=h, spp=1, bounces=5,
+                px_block=(16, 16), samples_per_packet=1,
+            ))
+
+        return frame
+
+    return ProgressivePtController(make_frame, camera, (w, h))
 
 
 if __name__ == "__main__":

@@ -150,3 +150,73 @@ def test_in_progress_tiles_tracked():
     c.update()
     assert c.in_progress_tiles == []
     c.shutdown()
+
+
+class TestProgressivePt:
+    """ProgressivePtController with a fake frame function."""
+
+    def _controller(self, w=8, h=6):
+        from minipath_tpu.gui import ProgressivePtController
+
+        calls = {"made": 0}
+
+        def make_frame(camera):
+            calls["made"] += 1
+            gen = calls["made"]
+
+            def frame(i):
+                time.sleep(0.002)
+                # Distinguishable constant per generation; mean over chunks
+                # of one generation equals that constant.
+                return np.full((h, w, 4), 0.25 * gen, np.float32)
+
+            return frame
+
+        cam = Camera().look_at((0, 0, 5), (0, 0, 0))
+        c = ProgressivePtController(make_frame, cam, (w, h))
+        return c, calls
+
+    def test_accumulates_and_displays_mean(self):
+        c, calls = self._controller()
+        c.start()
+        deadline = time.time() + 20
+        while c.samples() < 3 and time.time() < deadline:
+            time.sleep(0.01)
+        assert c.samples() >= 3
+        assert c.update() is True
+        img = c.display_image()
+        assert img.shape == (6, 8, 3) and img.dtype == np.uint8
+        # Mean of constant 0.25 frames -> gamma(0.25)*255.
+        want = int(0.25 ** (1 / 2.2) * 255 + 0.5)
+        assert abs(int(img[0, 0, 0]) - want) <= 1
+        c.shutdown()
+
+    def test_camera_move_restarts_accumulation(self):
+        c, calls = self._controller()
+        c.start()
+        deadline = time.time() + 20
+        while c.samples() < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        old_cam = c.camera
+        c.move_camera(1.0, 0.0, 0.0)
+        # Accumulation restarts with a new frame function + moved camera.
+        deadline = time.time() + 20
+        while (calls["made"] < 2 or c.samples() < 1) and time.time() < deadline:
+            time.sleep(0.01)
+        assert calls["made"] >= 2
+        assert c.camera is not old_cam
+        img = c.display_image()
+        want = int(0.5 ** (1 / 2.2) * 255 + 0.5)  # generation 2 constant
+        assert abs(int(img[0, 0, 0]) - want) <= 1
+        c.shutdown()
+
+    def test_update_reports_new_samples_only(self):
+        c, _ = self._controller()
+        assert c.update() is False  # nothing yet
+        c.start()
+        deadline = time.time() + 20
+        while c.samples() < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        assert c.update() is True
+        assert c.update() in (True, False)  # second call only if new frames
+        c.shutdown()
