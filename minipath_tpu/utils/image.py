@@ -22,6 +22,13 @@ def save_png(path, image_u8: np.ndarray) -> None:
     Image.fromarray(image_u8, mode="RGBA").save(path)
 
 
+def load_png(path) -> np.ndarray:
+    """Load a PNG as ``(H, W, 4)`` uint8 RGBA."""
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGBA"))
+
+
 def checkerboard_under(image_u8: np.ndarray, cell: int = 8) -> np.ndarray:
     """Blend a gray checkerboard under transparent pixels (GUI helper,
     mirrors the reference GUI background blend, ``gui.rs:244-282``)."""

@@ -458,3 +458,23 @@ def test_mis_pdfs_are_consistent():
     w_nee = pn**2 / (pn**2 + np.asarray(pdf_b) ** 2)
     w_b = np.asarray(pdf_b) ** 2 / (pn**2 + np.asarray(pdf_b) ** 2)
     np.testing.assert_allclose(w_nee + w_b, 1.0, rtol=1e-5)
+
+
+def test_pt_render_is_seed_deterministic():
+    """Counter-based RNG: same key -> bit-identical frame; different key ->
+    different frame (the reproducibility the reference's OS-seeded SmallRng
+    cannot give, worker.rs:25)."""
+    obj, table = _floor_scene(lambertian((0.5, 0.5, 0.5)))
+    env = Environment.sky()
+    cam = _down_camera()
+    a = _render(obj, table, cam, env, spp=2, bounces=2)
+    b = _render(obj, table, cam, env, spp=2, bounces=2)
+    np.testing.assert_array_equal(a, b)
+    sampler = cam.build_sampler((16, 16))
+    tracer, tstate = _tracer(obj)
+    c = np.asarray(render_frame_pt(
+        tracer, tstate, table, sampler, jax.random.key(7),
+        width=16, height=16, spp=2, bounces=2, env=env,
+        px_block=(16, 16), samples_per_packet=2,
+    ))
+    assert np.abs(a - c).max() > 0
