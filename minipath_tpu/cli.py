@@ -183,7 +183,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             bvh.arrays, stack_size=bvh.recommended_stack_size, packet_size=256
         )
         if args.nee:
-            shadow_tracer = make_xla_shadow_tracer(
+            shadow_tracer, _ = make_xla_shadow_tracer(
                 bvh.arrays, stack_size=bvh.recommended_stack_size, packet_size=256
             )
     else:
@@ -195,7 +195,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
                 packet_size=2048,
             )
             if args.nee:
-                shadow_tracer = make_pt_shadow_tracer(
+                shadow_tracer, _ = make_pt_shadow_tracer(
                     bvh.pt_scene,
                     stack_size=bvh.recommended_stack_size,
                     packet_size=2048,
@@ -210,7 +210,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
                 packet_size=2048,
             )
             if args.nee:
-                shadow_tracer = make_q_shadow_tracer(
+                shadow_tracer, _ = make_q_shadow_tracer(
                     bvh.pallas_scene,
                     stack_size=bvh.recommended_stack_size,
                     packet_size=2048,

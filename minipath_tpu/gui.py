@@ -341,9 +341,22 @@ def _make_pt_controller(args, bvh, camera, material_dicts):
             bvh.arrays, stack_size=bvh.recommended_stack_size, packet_size=256
         )
     else:
-        tracer, tstate = make_pt_tracer(
-            bvh.pt_scene, stack_size=bvh.recommended_stack_size, packet_size=2048
-        )
+        try:
+            tracer, tstate = make_pt_tracer(
+                bvh.pt_scene,
+                stack_size=bvh.recommended_stack_size,
+                packet_size=2048,
+            )
+        except ValueError:
+            # Scene past the f32 VMEM budget: quantized full kernel (the
+            # same fallback policy as cli._render_pt).
+            from minipath_tpu.render.wavefront import make_pallas_tracer
+
+            tracer, tstate = make_pallas_tracer(
+                bvh.pallas_scene,
+                stack_size=bvh.recommended_stack_size,
+                packet_size=2048,
+            )
     w, h = args.width, args.height
 
     def make_frame(cam):

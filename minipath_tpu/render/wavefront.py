@@ -149,6 +149,34 @@ def scatter_full(
     return new_dir, attenuation, emitted, terminate, pdf, diffuse
 
 
+def _pack_rays9(packet_size: int, live_rays, origin, direction, inv_direction):
+    """Shared tracer preamble: pad the ray stream to whole packets (by
+    repeating the LAST ray, which is coherent with its packet so the
+    duplicate lanes add no node visits), convert a live-ray count to a
+    live-packet count (dead rays form a suffix after compaction), and pack
+    into the kernels' ``(B, 9, P//128, 128)`` layout. Returns
+    ``(rays9, live_packets, padded_count)``; callers slice results
+    ``[:N]``."""
+    N = origin.shape[0]
+    Np = -(-N // packet_size) * packet_size
+    if Np != N:
+        pad = jnp.full(Np - N, N - 1, jnp.int32)
+        origin = jnp.concatenate([origin, origin[pad]], axis=0)
+        direction = jnp.concatenate([direction, direction[pad]], axis=0)
+        inv_direction = jnp.concatenate(
+            [inv_direction, inv_direction[pad]], axis=0
+        )
+    B = Np // packet_size
+    live_packets = None
+    if live_rays is not None:
+        live_packets = (
+            jnp.asarray(live_rays, jnp.int32) + packet_size - 1
+        ) // packet_size
+    r9 = jnp.concatenate([origin, direction, inv_direction], axis=-1)
+    r9 = jnp.swapaxes(r9.reshape(B, packet_size, 9), 1, 2)
+    return r9.reshape(B, 9, packet_size // 128, 128), live_packets, Np
+
+
 def make_pallas_tracer(
     scene: PallasScene,
     *,
@@ -167,29 +195,9 @@ def make_pallas_tracer(
 
     def tracer(state: PallasScene, origin, direction, inv_direction, live_rays=None):
         N = origin.shape[0]
-        # Pad the ray stream up to a whole number of packets by repeating
-        # the tail rays (coherent with their packet, so the duplicate lanes
-        # add no node visits); padded results are sliced away below.
-        Np = -(-N // packet_size) * packet_size
-        if Np != N:
-            pad = jnp.arange(Np - N) % N
-            origin = jnp.concatenate([origin, origin[pad]], axis=0)
-            direction = jnp.concatenate([direction, direction[pad]], axis=0)
-            inv_direction = jnp.concatenate(
-                [inv_direction, inv_direction[pad]], axis=0
-            )
-        B = Np // packet_size
-        # Wavefront early-exit: after compaction the live rays form a
-        # prefix, so packets past ceil(live / packet_size) skip traversal
-        # in-kernel and just report misses.
-        live_packets = None
-        if live_rays is not None:
-            live_packets = (
-                jnp.asarray(live_rays, jnp.int32) + packet_size - 1
-            ) // packet_size
-        r9 = jnp.concatenate([origin, direction, inv_direction], axis=-1)
-        r9 = jnp.swapaxes(r9.reshape(B, packet_size, 9), 1, 2)
-        r9 = r9.reshape(B, 9, packet_size // 128, 128)
+        r9, live_packets, Np = _pack_rays9(
+            packet_size, live_rays, origin, direction, inv_direction
+        )
         kh = trace_scene(
             state,
             r9,
@@ -232,23 +240,9 @@ def make_pt_tracer(
 
     def tracer(state: PTScene, origin, direction, inv_direction, live_rays=None):
         N = origin.shape[0]
-        Np = -(-N // packet_size) * packet_size
-        if Np != N:
-            pad = jnp.arange(Np - N) % N
-            origin = jnp.concatenate([origin, origin[pad]], axis=0)
-            direction = jnp.concatenate([direction, direction[pad]], axis=0)
-            inv_direction = jnp.concatenate(
-                [inv_direction, inv_direction[pad]], axis=0
-            )
-        B = Np // packet_size
-        live_packets = None
-        if live_rays is not None:
-            live_packets = (
-                jnp.asarray(live_rays, jnp.int32) + packet_size - 1
-            ) // packet_size
-        r9 = jnp.concatenate([origin, direction, inv_direction], axis=-1)
-        r9 = jnp.swapaxes(r9.reshape(B, packet_size, 9), 1, 2)
-        r9 = r9.reshape(B, 9, packet_size // 128, 128)
+        r9, live_packets, Np = _pack_rays9(
+            packet_size, live_rays, origin, direction, inv_direction
+        )
         ph = trace_packets_pallas_pt(
             state,
             r9,
@@ -304,11 +298,14 @@ def make_xla_tracer(bvh, *, stack_size: int, packet_size: int = 256):
 
 
 # Shadow rays are parameterized by the UNNORMALIZED segment to the light
-# point: t runs in segment units, so one STATIC t_max just short of 1 tests
-# exactly "anything between x and y" without per-ray t_max support in the
-# kernels (the light-side epsilon; the surface-side epsilon is the caller's
-# origin offset).
-_SHADOW_T_MAX = 1.0 - 1e-3
+# point: t runs in segment units, so one STATIC t_max tests exactly
+# "anything strictly between origin and origin+segment" without per-ray
+# t_max support in the kernels. The margin below t=1 is only a float32
+# guard band (~100 ulp) — geometric endpoint epsilons are the CALLER's job
+# and must be absolute (the NEE loop pulls both segment ends back by _EPS
+# world units), otherwise the blind zone near a light would grow linearly
+# with its distance.
+_SHADOW_T_MAX = 1.0 - 1e-5
 
 
 def make_pt_shadow_tracer(
@@ -318,30 +315,20 @@ def make_pt_shadow_tracer(
     packet_size: int = 2048,
     interpret: bool = False,
 ):
-    """Occlusion tracer over the lean PT kernel.
+    """Occlusion tracer over the lean PT kernel (anyhit mode).
 
-    Returns ``shadow(state, origin, segment, live_rays=None) -> (N,) bool``
-    — True where something blocks the segment ``origin -> origin+segment``.
+    Returns ``(shadow_fn, scene)`` like the tracer factories;
+    ``shadow(state, origin, segment, live_rays=None) -> (N,) bool`` is True
+    where something blocks the segment ``origin -> origin+segment``.
     """
     assert packet_size % 128 == 0, packet_size
 
     def shadow(state: PTScene, origin, segment, live_rays=None):
         N = origin.shape[0]
-        Np = -(-N // packet_size) * packet_size
-        if Np != N:
-            pad = jnp.arange(Np - N) % N
-            origin = jnp.concatenate([origin, origin[pad]], axis=0)
-            segment = jnp.concatenate([segment, segment[pad]], axis=0)
-        B = Np // packet_size
-        live_packets = None
-        if live_rays is not None:
-            live_packets = (
-                jnp.asarray(live_rays, jnp.int32) + packet_size - 1
-            ) // packet_size
         inv = jnp.where(segment == 0.0, jnp.inf, 1.0 / segment)
-        r9 = jnp.concatenate([origin, segment, inv], axis=-1)
-        r9 = jnp.swapaxes(r9.reshape(B, packet_size, 9), 1, 2)
-        r9 = r9.reshape(B, 9, packet_size // 128, 128)
+        r9, live_packets, Np = _pack_rays9(
+            packet_size, live_rays, origin, segment, inv
+        )
         ph = trace_packets_pallas_pt(
             state,
             r9,
@@ -353,7 +340,7 @@ def make_pt_shadow_tracer(
         )
         return ph.tri.reshape(Np)[:N] >= 0
 
-    return shadow
+    return shadow, scene
 
 
 def make_q_shadow_tracer(
@@ -373,21 +360,10 @@ def make_q_shadow_tracer(
 
     def shadow(state, origin, segment, live_rays=None):
         N = origin.shape[0]
-        Np = -(-N // packet_size) * packet_size
-        if Np != N:
-            pad = jnp.arange(Np - N) % N
-            origin = jnp.concatenate([origin, origin[pad]], axis=0)
-            segment = jnp.concatenate([segment, segment[pad]], axis=0)
-        B = Np // packet_size
-        live_packets = None
-        if live_rays is not None:
-            live_packets = (
-                jnp.asarray(live_rays, jnp.int32) + packet_size - 1
-            ) // packet_size
         inv = jnp.where(segment == 0.0, jnp.inf, 1.0 / segment)
-        r9 = jnp.concatenate([origin, segment, inv], axis=-1)
-        r9 = jnp.swapaxes(r9.reshape(B, packet_size, 9), 1, 2)
-        r9 = r9.reshape(B, 9, packet_size // 128, 128)
+        r9, live_packets, Np = _pack_rays9(
+            packet_size, live_rays, origin, segment, inv
+        )
         kh = trace_packets_pallas_q(
             state,
             r9,
@@ -398,7 +374,7 @@ def make_q_shadow_tracer(
         )
         return kh.tri.reshape(Np)[:N] >= 0
 
-    return shadow
+    return shadow, scene
 
 
 def make_xla_shadow_tracer(bvh, *, stack_size: int, packet_size: int = 256):
@@ -422,7 +398,7 @@ def make_xla_shadow_tracer(bvh, *, stack_size: int, packet_size: int = 256):
         )
         return res.tri.reshape(N) >= 0
 
-    return shadow
+    return shadow, bvh
 
 
 class _PathState(NamedTuple):
@@ -659,10 +635,13 @@ def _pt_trace(
             y, wi, pdf_nee, em_l, cos_y = sample_lights(lights, lkey, sh_o)
             cos_x = jnp.sum(wi * nf, axis=-1)
             cand = cand & (cos_x > 0.0) & (cos_y > 1e-6) & (pdf_nee > 0.0)
+            # Pull the light-side endpoint back by an ABSOLUTE epsilon
+            # (matching the surface-side _EPS offset) so the occlusion
+            # blind zone near the light doesn't scale with its distance.
             # Park non-candidate lanes far outside the scene so their
             # segments miss at the root instead of traversing.
             sh_o_eff = jnp.where(cand[..., None], sh_o, 1e9)
-            seg_eff = jnp.where(cand[..., None], y - sh_o, 1.0)
+            seg_eff = jnp.where(cand[..., None], y - wi * _EPS - sh_o, 1.0)
             occluded = shadow_tracer(tracer_state, sh_o_eff, seg_eff, live)
             albedo = materials.albedo[kh.material]
             w_nee = pdf_nee * pdf_nee / (

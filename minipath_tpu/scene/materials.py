@@ -99,6 +99,10 @@ def build_light_table(tri_packets, tri_material, materials: MaterialTable):
     emission = np.asarray(materials.emission, np.float64)[mat[idx]]
     area = area2[idx] * 0.5
     power = area * emission.mean(axis=-1)
+    if power.sum() <= 0.0:
+        # Emissive materials with zero radiance: no sampleable lights
+        # (avoids a 0/0 pmf that would poison NEE with NaNs).
+        return None
     pmf = power / power.sum()
     cdf = np.cumsum(pmf)
     cdf[-1] = 1.0

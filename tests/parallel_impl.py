@@ -245,7 +245,7 @@ def case_sharded_pt_nee():
     tracer, tstate = make_xla_tracer(
         obj.arrays, stack_size=obj.recommended_stack_size, packet_size=256
     )
-    shadow = make_xla_shadow_tracer(
+    shadow, _ = make_xla_shadow_tracer(
         obj.arrays, stack_size=obj.recommended_stack_size, packet_size=256
     )
     arrays = obj.host_arrays

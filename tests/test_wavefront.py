@@ -240,7 +240,7 @@ def _nee_bits(obj, table):
 
     arrays = obj.host_arrays
     lights = build_light_table(arrays.tri_packets, arrays.tri_material, table)
-    shadow = make_xla_shadow_tracer(
+    shadow, _ = make_xla_shadow_tracer(
         obj.arrays, stack_size=obj.recommended_stack_size, packet_size=256
     )
     return lights, shadow
@@ -278,7 +278,7 @@ class TestNee:
         from minipath_tpu.render.wavefront import make_xla_shadow_tracer
 
         obj, _ = _floor_and_panel_scene()
-        shadow = make_xla_shadow_tracer(
+        shadow, _ = make_xla_shadow_tracer(
             obj.arrays, stack_size=obj.recommended_stack_size, packet_size=128
         )
         n = 128
@@ -362,7 +362,7 @@ def test_pallas_shadow_tracer_anyhit_matches_closest(rng):
 
     obj, _ = _floor_and_panel_scene()
     sp = prepare_scene_pt(obj.host_arrays)
-    shadow = make_pt_shadow_tracer(
+    shadow, _ = make_pt_shadow_tracer(
         sp, stack_size=obj.recommended_stack_size, packet_size=128,
         interpret=True,
     )
@@ -379,7 +379,7 @@ def test_pallas_shadow_tracer_anyhit_matches_closest(rng):
     r9 = jnp.swapaxes(r9, 1, 2).reshape(1, 9, 1, 128)
     ph = trace_packets_pallas_pt(
         sp, r9, stack_size=obj.recommended_stack_size,
-        t_max=1.0 - 1e-3, interpret=True,
+        t_max=1.0 - 1e-5, interpret=True,
     )
     want = np.asarray(ph.tri).reshape(n) >= 0
     np.testing.assert_array_equal(occ, want)
@@ -397,11 +397,11 @@ def test_q_shadow_tracer_matches_xla(rng):
 
     obj, _ = _floor_and_panel_scene()
     qscene = prepare_scene_quantized(obj.host_arrays)
-    qshadow = make_q_shadow_tracer(
+    qshadow, _ = make_q_shadow_tracer(
         qscene, stack_size=obj.recommended_stack_size, packet_size=128,
         interpret=True,
     )
-    xshadow = make_xla_shadow_tracer(
+    xshadow, _ = make_xla_shadow_tracer(
         obj.arrays, stack_size=obj.recommended_stack_size, packet_size=128
     )
     n = 128

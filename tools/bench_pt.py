@@ -112,7 +112,7 @@ def main():
     from minipath_tpu.scene.materials import build_light_table
 
     lights = build_light_table(res.arrays.tri_packets, res.arrays.tri_material, table)
-    shadow = make_pt_shadow_tracer(
+    shadow, _ = make_pt_shadow_tracer(
         scene, stack_size=res.recommended_stack_size, packet_size=2048
     )
 
