@@ -89,6 +89,10 @@ def load_scene(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from minipath_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from minipath_tpu import Camera, RenderSettings, Scene, render
     from minipath_tpu.utils.image import save_png
 

@@ -278,6 +278,9 @@ def run_tk(controller: GuiController, fps: int = 30):
 
 
 def main(argv=None) -> int:
+    from minipath_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="minipath-tpu-gui")
     p.add_argument("--obj", default=None)
     p.add_argument("--width", type=int, default=1024)

@@ -68,6 +68,12 @@ class _RenderState:
         self.start_time = time.monotonic()
         self.end_time: float | None = None
         self.timers = PhaseTimers()
+        # Frame mode (no tile callbacks): tiles accumulate into this device
+        # buffer and the host fetches ONE image at the end instead of one
+        # batch of tiles per dispatch (the device->host tunnel, not compute,
+        # bounds the reference criterion workload — BENCH_teapot.json).
+        self.frame_dev = None
+        self.frame_fetch = None  # callable fetching frame_dev into .image
 
 
 class RenderProgress:
@@ -106,6 +112,9 @@ class RenderProgress:
 
     def image(self) -> np.ndarray:
         """Snapshot of the (possibly partial) RGBA uint8 image."""
+        fetch = self._state.frame_fetch
+        if fetch is not None:
+            fetch()  # frame mode: pull the device buffer down first
         with self._state.image_lock:
             return self._state.image.copy()
 
@@ -283,9 +292,11 @@ def render(
                     spp_pass,
                 )
                 acc = part if acc is None else acc + part
-        return batch, finalize_u8(acc)  # device u8 (K, th, tw, 4); fetch later
+        # Device u8 (K, th, tw, 4); fetched (tile mode) or placed on device
+        # (frame mode) later.
+        return batch, finalize_u8(acc), origins
 
-    def write_batch(batch, acc_u8):
+    def write_batch(batch, acc_u8, origins=None):
         with state.timers.phase("fetch"):
             tiles_u8 = np.asarray(acc_u8)  # single u8 fetch per batch
         for tile, tile_img in zip(batch, tiles_u8):
@@ -302,6 +313,43 @@ def render(
                     ),
                 )
 
+    # Frame mode: with no tile callbacks nobody observes per-tile results,
+    # so tiles are placed into a device frame buffer (one fused
+    # dynamic_update_slice program per batch) and the host fetches the
+    # frame ONCE — the tunnel roundtrips per batch disappear.
+    frame_mode = started_tile_callback is None and finished_tile_callback is None
+    if frame_mode:
+        th, tw = tile_shape
+        state.frame_dev = jnp.zeros((height + th, width + tw, 4), jnp.uint8)
+
+        @jax.jit
+        def place_tiles(frame, tiles_u8, origins_xy):
+            for k in range(tiles_per_dispatch):
+                frame = jax.lax.dynamic_update_slice(
+                    frame,
+                    tiles_u8[k],
+                    (origins_xy[k, 1], origins_xy[k, 0], jnp.int32(0)),
+                )
+            return frame
+
+        def fetch_frame():
+            frame = state.frame_dev
+            if frame is None:
+                return
+            with state.timers.phase("fetch"):
+                full = np.asarray(frame)
+            with state.image_lock:
+                state.image[:, :] = full[:height, :width]
+
+        state.frame_fetch = fetch_frame
+
+        def place_batch(batch, acc_u8, origins):
+            with state.timers.phase("dispatch"):
+                state.frame_dev = place_tiles(
+                    state.frame_dev, acc_u8, jnp.asarray(origins, jnp.int32)
+                )
+            state.finished_count += len(batch)
+
     def driver():
         try:
             pending = None  # (batch, device acc) — double buffer
@@ -313,13 +361,18 @@ def render(
                     for t in batch:
                         started_tile_callback(t)
                 current = compute_batch(start)  # async dispatch
-                if pending is not None:
+                if frame_mode:
+                    place_batch(*current)
+                elif pending is not None:
                     write_batch(*pending)  # fetch previous while current runs
-                pending = current
+                if not frame_mode:
+                    pending = current
             # Already-dispatched work still lands, mirroring the reference's
             # abort semantics (running tiles finish; machinery.rs:161-165).
             if pending is not None:
                 write_batch(*pending)
+            if frame_mode:
+                fetch_frame()
         finally:
             state.end_time = time.monotonic()
 

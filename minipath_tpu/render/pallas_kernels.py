@@ -77,6 +77,10 @@ class KernelHits(NamedTuple):
     # packet tests per ray packet (the traversal's two cost units).
     inner_visits: jnp.ndarray | None = None
     leaf_tests: jnp.ndarray | None = None
+    # (B, P, 3) f32 interpolated texture coordinates at the best hit
+    # (ray_bvh_intersection.rs:87-93); populated by the lean-kernel tracers
+    # (make_pt_tracer / twolevel), None from the in-kernel-shading paths.
+    texture_coords: jnp.ndarray | None = None
 
 
 class PallasScene(NamedTuple):
@@ -1012,8 +1016,11 @@ class PTScene(NamedTuple):
     node_links: jnp.ndarray  # (N, 8) i32 — as PallasScene
     tri_data: jnp.ndarray  # (M, 80) f32 — as PallasScene (materials unused)
     root: jnp.ndarray  # (1, 1) i32
-    # (M*8, 12) f32 HBM-side shading table: n0, n1, n2, material, pad —
-    # gathered per winning triangle OUTSIDE the kernel (not a kernel input).
+    # (M*8, 20) f32 HBM-side shading table: n0, n1, n2 (9), material (1),
+    # uv0, uv1, uv2 (9), pad (1) — gathered per winning triangle OUTSIDE
+    # the kernel (not a kernel input). Texture coordinates interpolate with
+    # the kernel barycentrics exactly like the reference's hit finalization
+    # (ray_bvh_intersection.rs:87-93).
     shade_flat: jnp.ndarray
 
     def vmem_bytes(self) -> int:
@@ -1043,9 +1050,11 @@ def prepare_scene_pt(bvh: BvhArrays) -> PTScene:
     M = base.tri_shade.shape[0]
     shade = base.tri_shade.reshape(M * 8, 9)
     mat = base.tri_data[:, 72:80].reshape(M * 8, 1)
+    vidx = jnp.asarray(bvh.tri_vidx).reshape(M * 8, 3)
+    uvs = jnp.asarray(bvh.vert_uv)[vidx].reshape(M * 8, 9)
     shade_flat = jnp.concatenate(
-        [shade, mat, jnp.zeros((M * 8, 2), jnp.float32)], axis=-1
-    )  # (M*8, 12)
+        [shade, mat, uvs, jnp.zeros((M * 8, 1), jnp.float32)], axis=-1
+    )  # (M*8, 20)
     return PTScene(
         node_box=base.node_box,
         node_links=base.node_links,
@@ -1056,7 +1065,7 @@ def prepare_scene_pt(bvh: BvhArrays) -> PTScene:
 
 
 def _traverse_kernel_pt(
-    root_ref,  # SMEM (1, 1) i32
+    root_ref,  # SMEM (1, 1) i32 — THIS packet's traversal root (see roots=)
     live_ref,  # SMEM (1, 1) i32
     node_box_ref,  # VMEM (N, 48) f32
     node_links_ref,  # VMEM (N, 8) i32
@@ -1249,6 +1258,12 @@ def _traverse_kernel_pt(
             best_t, best_tri, bu, bv = leaf_visit(
                 idx, count, best_t, best_tri, bu, bv
             )
+            if anyhit:
+                # Occlusion packets retire wholesale: once every lane has a
+                # hit, the remaining stack can only re-test finished lanes
+                # (poisoned best_t fails every slab), so drop it.
+                all_done = jnp.min(best_tri) >= 0
+                sp = jnp.where(all_done, 0, sp)
             return sp, ovf, ivis, ltst + count, best_t, best_tri, bu, bv
 
         return jax.lax.cond(
@@ -1357,11 +1372,21 @@ def trace_packets_pallas_pt(
     sort_children: bool = True,
     pop2: bool = False,
     anyhit: bool = False,
+    roots=None,
 ):
     """Lean closest-hit trace (see the section comment above). Returns
     :class:`PTHits` with ``(B, P)`` fields; shading is the caller's job.
     With ``anyhit=True`` only ``tri >= 0`` (occlusion) is meaningful and
-    lanes retire on their first hit under ``t_max``."""
+    lanes retire on their first hit under ``t_max``.
+
+    ``roots`` (optional ``(B,)`` i32 of encoded node links) gives every
+    packet its OWN traversal root — the enabler for two-level binned
+    traversal, where a broad phase buckets rays by subtree ("treelet") and
+    each packet descends only the subtree all of its rays want. A NULL root
+    makes the packet write miss outputs without traversing. Results for a
+    packet are exactly a root-limited traversal: anything outside the
+    packet's subtree is invisible to it (the caller owns cross-treelet
+    min-combining)."""
     B, _, S, LANES = rays9.shape
     P = S * LANES
     kernel = functools.partial(
@@ -1375,11 +1400,19 @@ def trace_packets_pallas_pt(
     if live_packets is None:
         live_packets = B
     live = jnp.asarray(live_packets, jnp.int32).reshape(1, 1)
+    if roots is None:
+        root_arg = scene.root
+        root_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    else:
+        root_arg = jnp.asarray(roots, jnp.int32).reshape(B, 1)
+        root_spec = pl.BlockSpec(
+            (1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # root
+            root_spec,  # root: (1,1) shared or (B,1) per-packet
             pl.BlockSpec(memory_space=pltpu.SMEM),  # live_packets
             pl.BlockSpec(
                 scene.node_box.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -1418,7 +1451,7 @@ def trace_packets_pallas_pt(
         ],
         interpret=interpret,
     )(
-        scene.root,
+        root_arg,
         live,
         scene.node_box,
         scene.node_links,

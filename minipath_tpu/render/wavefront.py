@@ -218,6 +218,22 @@ def make_pallas_tracer(
     return tracer, scene
 
 
+def shade_from_flat(shade_flat, tri, u, v):
+    """One-row gather + barycentric interpolation out of a PTScene's
+    ``shade_flat`` table: returns ``(normal, material, texture_coords)`` for
+    the kernel's winning ``(tri, u, v)`` (the hit-finalization of
+    ``ray_bvh_intersection.rs:66-95``, deferred out of the hot loop)."""
+    u = u[:, None]
+    v = v[:, None]
+    row = shade_flat[jnp.maximum(tri, 0)]  # (N, 20) — one gather
+    n0 = row[:, 0:3]
+    normal = n0 + u * (row[:, 3:6] - n0) + v * (row[:, 6:9] - n0)
+    normal = _normalize(normal)
+    uv0 = row[:, 10:13]
+    tex = uv0 + u * (row[:, 13:16] - uv0) + v * (row[:, 16:19] - uv0)
+    return normal, row[:, 9].astype(jnp.int32), tex
+
+
 def make_pt_tracer(
     scene: PTScene,
     *,
@@ -227,12 +243,12 @@ def make_pt_tracer(
 ):
     """Tracer over the lean PT kernel (``trace_packets_pallas_pt``).
 
-    The kernel returns only ``(t, tri, u, v)``; the winner's shading normal
-    and material come from ONE 48-byte row gather per ray out of
-    ``scene.shade_flat`` (HBM-side), interpolated with the kernel's
-    barycentrics — measured ~1.8x faster end to end on compacted bounce
-    packets than the full kernel, which pays ~20 normal-interpolation vector
-    ops per triangle lane inside the leaf loop (tools/sweep_pt7.py).
+    The kernel returns only ``(t, tri, u, v)``; the winner's shading normal,
+    material, and texture coordinates come from ONE 80-byte row gather per
+    ray out of ``scene.shade_flat`` (HBM-side), interpolated with the
+    kernel's barycentrics — measured ~1.8x faster end to end on compacted
+    bounce packets than the full kernel, which pays ~20 normal-interpolation
+    vector ops per triangle lane inside the leaf loop (tools/sweep_pt7.py).
 
     Same ``(tracer_fn, tracer_state)`` contract as :func:`make_pallas_tracer`.
     """
@@ -251,20 +267,21 @@ def make_pt_tracer(
             live_packets=live_packets,
         )
         tri = ph.tri.reshape(Np)[:N]
-        u = ph.u.reshape(Np)[:N, None]
-        v = ph.v.reshape(Np)[:N, None]
-        row = state.shade_flat[jnp.maximum(tri, 0)]  # (N, 12) — one gather
-        n0 = row[:, 0:3]
-        normal = n0 + u * (row[:, 3:6] - n0) + v * (row[:, 6:9] - n0)
-        normal = _normalize(normal)
+        normal, material, tex = shade_from_flat(
+            state.shade_flat,
+            tri,
+            ph.u.reshape(Np)[:N],
+            ph.v.reshape(Np)[:N],
+        )
         return KernelHits(
             t=ph.t.reshape(Np)[:N],
             tri=tri,
             normal=normal,
-            material=row[:, 9].astype(jnp.int32),
+            material=material,
             overflow=ph.overflow,
             inner_visits=ph.inner_visits,
             leaf_tests=ph.leaf_tests,
+            texture_coords=tex,
         )
 
     return tracer, scene
@@ -638,11 +655,33 @@ def _pt_trace(
             # Pull the light-side endpoint back by an ABSOLUTE epsilon
             # (matching the surface-side _EPS offset) so the occlusion
             # blind zone near the light doesn't scale with its distance.
-            # Park non-candidate lanes far outside the scene so their
-            # segments miss at the root instead of traversing.
-            sh_o_eff = jnp.where(cand[..., None], sh_o, 1e9)
-            seg_eff = jnp.where(cand[..., None], y - wi * _EPS - sh_o, 1.0)
-            occluded = shadow_tracer(tracer_state, sh_o_eff, seg_eff, live)
+            seg = y - wi * _EPS - sh_o
+            # The shadow batch has its OWN coherence structure: segment
+            # directions point at sampled light points, not along the bounce
+            # rays the wavefront was sorted by. Re-sort by (non-candidate,
+            # segment-direction bin, origin Morton cell) so candidates form
+            # a compact prefix of direction/position-coherent packets — the
+            # anyhit kernel then traverses only ceil(#cand/P) packets
+            # instead of every live packet half-filled with parked lanes.
+            sh_o_safe = jnp.where(cand[..., None], sh_o, 0.0)
+            lo = jnp.min(jnp.where(cand[..., None], sh_o_safe, jnp.inf), axis=0)
+            hi = jnp.max(jnp.where(cand[..., None], sh_o_safe, -jnp.inf), axis=0)
+            scale = 16.0 / jnp.maximum(hi - lo, 1e-6)
+            cell = jnp.clip((sh_o_safe - lo) * scale, 0, 15).astype(jnp.int32)
+            skey = (
+                ((~cand).astype(jnp.int32) << 19)
+                | (_direction_bin(wi) << 12)
+                | _morton16(cell)
+            )
+            order = jnp.argsort(skey)
+            cand_s = cand[order]
+            # Park the (now-suffix) non-candidate lanes far outside the
+            # scene so partial boundary packets miss at the root.
+            sh_o_eff = jnp.where(cand_s[..., None], sh_o[order], 1e9)
+            seg_eff = jnp.where(cand_s[..., None], seg[order], 1.0)
+            n_cand = jnp.sum(cand.astype(jnp.int32))
+            occ_s = shadow_tracer(tracer_state, sh_o_eff, seg_eff, n_cand)
+            occluded = jnp.zeros_like(occ_s).at[order].set(occ_s)
             albedo = materials.albedo[kh.material]
             w_nee = pdf_nee * pdf_nee / (
                 pdf_nee * pdf_nee + (cos_x / np.pi) ** 2

@@ -76,6 +76,14 @@ def main():
         spp *= 4
     ladder.append(TOP)
 
+    # Warm up compiles BEFORE the ladder so rung timings measure rendering,
+    # not the one-off Mosaic/XLA compile of the bounce programs (the r02
+    # artifact folded ~3 min of compile into the 8-spp rung).
+    print("warmup (compile)...", flush=True)
+    _, warm_dt = frame(8, seed=9, compaction=True)
+    _, warm_mk = frame(8, seed=9, compaction=False)
+    print(f"  warm: wavefront {warm_dt:.1f}s, megakernel {warm_mk:.1f}s", flush=True)
+
     print(f"wavefront ladder {ladder} at {W}x{H}...", flush=True)
     wf = {}
     times = {}
