@@ -183,6 +183,108 @@ def bench_big_scene(sampler, key, sync):
     }
 
 
+def build_pt_scene():
+    """Materialized atrium (materials + lights) for the PT side bench,
+    cached like the parity scenes."""
+    from minipath_tpu.scene.bvh.build import BvhArrays
+    from minipath_tpu.scene.materials import MaterialTable
+
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, "atrium_pt_250k_v1.npz")
+    if os.path.exists(path):
+        log("loading cached PT atrium BVH")
+        data = np.load(path)
+        arrays = BvhArrays(**{f: data[f] for f in BvhArrays._fields})
+        table = MaterialTable(
+            **{f: data[f"mat_{f}"] for f in MaterialTable._fields}
+        )
+        return arrays, table, int(data["meta_stack"])
+
+    from minipath_tpu.scene.bvh import native
+    from minipath_tpu.scene.bvh.build import build_bvh
+    from minipath_tpu.scene.materials import material_table
+    from minipath_tpu.scene.procedural import atrium_materials, make_atrium
+
+    log("building PT atrium (materials)...")
+    mesh = make_atrium(250_000)
+    mats, dicts = atrium_materials(mesh)
+    table = material_table(dicts)
+    if native.is_available():
+        res = native.build_bvh_native(mesh, materials=mats, leaf_max=24)
+    else:
+        res = build_bvh(mesh, materials=mats, leaf_max=24)
+    np.savez_compressed(
+        path,
+        **res.arrays._asdict(),
+        **{f"mat_{f}": np.asarray(v) for f, v in table._asdict().items()},
+        meta_stack=res.recommended_stack_size,
+    )
+    return res.arrays, table, res.recommended_stack_size
+
+
+def bench_pt(sync):
+    """Side benchmark: the north-star wavefront path tracer (+NEE), so the
+    round-over-round scoring loop sees PT regressions (the r02 gap: the
+    driver artifact was parity-only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from minipath_tpu.camera import Camera
+    from minipath_tpu.render.pallas_kernels import prepare_scene_pt
+    from minipath_tpu.render.wavefront import (
+        make_pt_shadow_tracer,
+        make_pt_tracer,
+        render_frame_pt,
+    )
+    from minipath_tpu.scene.materials import Environment, build_light_table
+
+    W2, H2, SPP2, BOUNCES = 960, 540, 8, 5
+    arrays, table, stack = build_pt_scene()
+    scene = prepare_scene_pt(jax.tree.map(jnp.asarray, arrays))
+    tracer, tstate = make_pt_tracer(scene, stack_size=stack, packet_size=2048)
+    lights = build_light_table(arrays.tri_packets, arrays.tri_material, table)
+    shadow, _ = make_pt_shadow_tracer(scene, stack_size=stack, packet_size=2048)
+    cam = (
+        Camera()
+        .look_at((-16.0, 4.0, 0.0), (10.0, 3.0, 0.5))
+        .f_number(8.0)
+        .sensor_width(36e-3)
+    )
+    sampler = cam.build_sampler((W2, H2))
+    key = jax.random.key(0)
+
+    def frame(k, nee):
+        img = render_frame_pt(
+            tracer, tstate, table, sampler, k,
+            width=W2, height=H2, spp=SPP2, bounces=BOUNCES,
+            env=Environment.sky(), samples_per_packet=SPP2, compaction=True,
+            lights=lights if nee else None,
+            shadow_tracer=shadow if nee else None,
+        )
+        return jnp.mean(img[..., :3])
+
+    paths = W2 * H2 * SPP2
+    out = {"workload": f"atrium PT {W2}x{H2} @ {SPP2}spp, {BOUNCES} bounces"}
+    for nee in (False, True):
+        name = "nee" if nee else "wavefront"
+        t0 = time.time()
+        sync1 = float(np.asarray(frame(key, nee)))
+        log(f"  pt {name} warmup (incl compile): {time.time()-t0:.1f}s")
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            float(np.asarray(frame(jax.random.fold_in(key, 50 + i), nee)))
+            times.append(time.time() - t0)
+        arr = np.array(times)
+        out[f"{name}_mean_s"] = round(float(arr.mean()), 3)
+        out[f"{name}_mpaths_per_s"] = round(paths / arr.mean() / 1e6, 3)
+        log(
+            f"  pt {name}: {arr.mean():.2f}s "
+            f"{out[f'{name}_mpaths_per_s']} Mpaths/s"
+        )
+    return out
+
+
 def smoke_test(bvh, scene, sampler, stack):
     """Trace a tiny batch through the COMPILED kernel and compare against the
     portable XLA engine; abort with a diff instead of wasting a full warmup
@@ -254,6 +356,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from minipath_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     log(f"devices: {jax.devices()}")
 
     from minipath_tpu.camera import Camera
@@ -331,6 +436,13 @@ def main() -> int:
         log(f"big-scene bench failed: {e!r}")
         big = {"error": repr(e)}
 
+    # Side measurement: the north-star path tracer (wavefront + NEE).
+    try:
+        pt = bench_pt(sync)
+    except Exception as e:
+        log(f"pt bench failed: {e!r}")
+        pt = {"error": repr(e)}
+
     extra = {
         "workload": f"atrium-from-OBJ {result.triangle_count} tris, "
         f"{WIDTH}x{HEIGHT} @ {SPP} spp, parity integrator",
@@ -343,21 +455,23 @@ def main() -> int:
             "quantized": round(qscene.vmem_bytes() / 1e6, 1),
         },
         "big_scene": big,
+        "pt": pt,
     }
     with open(os.path.join(REPO, "BENCH_extra.json"), "w") as f:
         json.dump(extra, f, indent=2)
     log("wrote BENCH_extra.json")
 
-    print(
-        json.dumps(
-            {
-                "metric": "atrium_obj_1080p_64spp_throughput",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / TARGET_MRAYS, 3),
-            }
-        )
-    )
+    line = {
+        "metric": "atrium_obj_1080p_64spp_throughput",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / TARGET_MRAYS, 3),
+    }
+    # Surface the north-star integrator in the driver line too.
+    for k in ("wavefront_mpaths_per_s", "nee_mpaths_per_s"):
+        if k in pt:
+            line[f"pt_{k}"] = pt[k]
+    print(json.dumps(line))
     return 0
 
 

@@ -569,11 +569,57 @@ class QuantizedPallasScene(NamedTuple):
         return (self.node_q.shape[0] + self.tri_q.shape[0]) * 128 * 4
 
 
-def prepare_scene_quantized(bvh: BvhArrays) -> QuantizedPallasScene:
-    """Hierarchically quantize BvhArrays into the kernel layout."""
+class QuantizedHbmScene(NamedTuple):
+    """Quantized scene with TRIANGLES LEFT IN HBM — the scalability rung
+    past the quantized VMEM budget (~2.4M tris). Nodes stay VMEM-resident
+    (they are ~5% of the footprint); leaf visits DMA their packet rows into
+    a VMEM scratch via async copies. This is how the build keeps the
+    reference's render-anything-in-RAM property (``building.rs``) on a
+    machine whose fast memory is a 128 MB scratchpad."""
+
+    node_q: jnp.ndarray  # (N, 32) i32 — VMEM-resident
+    tri_q: jnp.ndarray  # (M + LEAF_DMA_ROWS, 64) i32 — HBM-resident
+    root: jnp.ndarray  # (1, 1) i32
+    root_box: jnp.ndarray  # (1, 6) f32
+
+    def vmem_bytes(self) -> int:
+        """Kernel VMEM window — nodes only (+ the tiny leaf scratch)."""
+        return self.node_q.shape[0] * 128 * 4 + LEAF_DMA_ROWS * 128 * 4
+
+
+# Leaf DMA transfer size in rows: the link format caps a leaf run at 7
+# packets (links.MAX_COUNT); every leaf copy moves this many rows so the
+# copy shape stays static (tri_q is padded by the same amount).
+LEAF_DMA_ROWS = 7
+
+
+def prepare_scene_quantized(bvh: BvhArrays, *, hbm_tris: bool = False):
+    """Hierarchically quantize BvhArrays into the kernel layout.
+
+    ``hbm_tris=True`` returns a :class:`QuantizedHbmScene` whose triangle
+    rows stay in HBM (no VMEM budget on triangles; only the node table
+    must fit on-chip)."""
     from minipath_tpu.scene.bvh.quantize import build_quantized_scene
 
     qs = build_quantized_scene(bvh)
+    if hbm_tris:
+        tri_q = jnp.asarray(qs.tri_q)
+        tri_q = jnp.concatenate(
+            [tri_q, jnp.zeros((LEAF_DMA_ROWS, tri_q.shape[1]), tri_q.dtype)]
+        )
+        scene = QuantizedHbmScene(
+            node_q=jnp.asarray(qs.node_q),
+            tri_q=tri_q,
+            root=jnp.asarray(qs.root),
+            root_box=jnp.asarray(qs.root_box),
+        )
+        if scene.vmem_bytes() > VMEM_BUDGET:
+            raise ValueError(
+                f"node table needs ~{scene.vmem_bytes()/1e6:.0f} MB of VMEM, "
+                f"over the kernel budget ({VMEM_BUDGET/1e6:.0f} MB) even with "
+                "HBM-resident triangles. Use the portable XLA engine."
+            )
+        return scene
     scene = QuantizedPallasScene(
         node_q=jnp.asarray(qs.node_q),
         tri_q=jnp.asarray(qs.tri_q),
@@ -585,8 +631,10 @@ def prepare_scene_quantized(bvh: BvhArrays) -> QuantizedPallasScene:
             f"quantized scene needs ~{scene.vmem_bytes()/1e6:.0f} MB of VMEM, "
             f"over the kernel budget ({VMEM_BUDGET/1e6:.0f} MB); the scene is "
             "too large even for quantized VMEM-resident traversal (which "
-            "carries ~2x the f32 layout's triangles). Use the portable XLA "
-            "engine (render backend='xla') or split the scene."
+            "carries ~2x the f32 layout's triangles). Use the HBM-streamed "
+            "layout (prepare_scene_quantized(..., hbm_tris=True) — "
+            "TriangleBvh.pallas_scene falls back to it automatically) or "
+            "the portable XLA engine (backend='xla')."
         )
     return scene
 
@@ -609,15 +657,21 @@ def _traverse_kernel_q(
     stack_t_ref,  # SMEM (S,) f32 — packet-min entry distance
     stack_w_ref,  # SMEM (S, 3) i32 — entry's packed box (parent-frame u16)
     stack_pb_ref,  # SMEM (S, 6) f32 — parent frame box
-    *,
+    *dma_scratch,  # tri_in_hbm only: VMEM (LEAF_DMA_ROWS, 64) i32 + DMA sem
     t_max: float,
     stack_size: int,
+    tri_in_hbm: bool = False,
 ):
     """Same traversal as :func:`_traverse_kernel`, but every stack entry
     carries its quantized box plus the parent frame (the reference's
     ``StackCache`` shape: link + parent box + entry distance,
     ``ray_bvh_intersection.rs:19-23``), and node/triangle records are
-    decompressed in-kernel (``ray_bvh_intersection.rs:104-163``)."""
+    decompressed in-kernel (``ray_bvh_intersection.rs:104-163``).
+
+    With ``tri_in_hbm`` the triangle array lives in HBM and each leaf
+    visit async-copies its packet rows into the VMEM scratch first — the
+    price is one DMA latency per leaf visit; the win is that VMEM holds
+    only the node table, so scene size is bounded by HBM."""
     S, LANES = rays_ref.shape[2], rays_ref.shape[3]
     ox = rays_ref[0, 0]
     oy = rays_ref[0, 1]
@@ -765,10 +819,21 @@ def _traverse_kernel_q(
             lsy = (bmaxy - bminy) * _INV_U16
             lsz = (bmaxz - bminz) * _INV_U16
 
+            if tri_in_hbm:
+                # Pull the leaf's packet rows down from HBM (tri_q is
+                # padded by LEAF_DMA_ROWS so the static-size copy never
+                # runs off the end).
+                tri_scratch, dma_sem = dma_scratch
+                cp = pltpu.make_async_copy(
+                    tri_ref.at[pl.ds(idx, LEAF_DMA_ROWS)], tri_scratch, dma_sem
+                )
+                cp.start()
+                cp.wait()
+
             def packet_body(j, pc):
                 best_t, best_tri, bnx, bny, bnz, bmat = pc
                 pidx = idx + j
-                row = tri_ref[pidx]  # (64,) i32
+                row = tri_scratch[j] if tri_in_hbm else tri_ref[pidx]  # (64,) i32
 
                 def coord(u):  # u: static flat u16 index (0..71)
                     w = row[u >> 1]
@@ -882,28 +947,48 @@ def _traverse_kernel_q(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stack_size", "t_max", "interpret")
+    jax.jit, static_argnames=("stack_size", "t_max", "interpret", "hbm_tris")
 )
 def trace_packets_pallas_q(
-    scene: QuantizedPallasScene,
+    scene,
     rays9: jnp.ndarray,  # (B, 9, P//128, 128) f32
     *,
     stack_size: int = 96,
     t_max: float = np.inf,
     interpret: bool = False,
     live_packets=None,  # traced scalar: packets past it skip traversal
+    hbm_tris: bool = False,
 ):
     """Quantized-scene variant of :func:`trace_packets_pallas`; same
     :class:`KernelHits` contract (results differ from the f32 path only by
-    quantization error: t within ~box/65535, normals within i8 precision)."""
+    quantization error: t within ~box/65535, normals within i8 precision).
+
+    ``hbm_tris=True`` (scene: :class:`QuantizedHbmScene`) leaves triangle
+    rows in HBM and DMAs each visited leaf into VMEM scratch — the
+    unbounded-scene mode."""
     B, _, S, LANES = rays9.shape
     P = S * LANES
     kernel = functools.partial(
-        _traverse_kernel_q, t_max=float(t_max), stack_size=int(stack_size)
+        _traverse_kernel_q,
+        t_max=float(t_max),
+        stack_size=int(stack_size),
+        tri_in_hbm=bool(hbm_tris),
     )
     if live_packets is None:
         live_packets = B
     live = jnp.asarray(live_packets, jnp.int32).reshape(1, 1)
+    tri_space = pltpu.ANY if hbm_tris else pltpu.VMEM
+    scratch = [
+        pltpu.SMEM((stack_size,), jnp.int32),
+        pltpu.SMEM((stack_size,), jnp.float32),
+        pltpu.SMEM((stack_size, 3), jnp.int32),
+        pltpu.SMEM((stack_size, 6), jnp.float32),
+    ]
+    if hbm_tris:
+        scratch += [
+            pltpu.VMEM((LEAF_DMA_ROWS, scene.tri_q.shape[1]), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B,),
@@ -914,7 +999,9 @@ def trace_packets_pallas_q(
             pl.BlockSpec(
                 scene.node_q.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
+            pl.BlockSpec(memory_space=tri_space)
+            if hbm_tris
+            else pl.BlockSpec(
                 scene.tri_q.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
@@ -928,12 +1015,7 @@ def trace_packets_pallas_q(
         + [
             pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
-        scratch_shapes=[
-            pltpu.SMEM((stack_size,), jnp.int32),
-            pltpu.SMEM((stack_size,), jnp.float32),
-            pltpu.SMEM((stack_size, 3), jnp.int32),
-            pltpu.SMEM((stack_size, 6), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     best_t, best_tri, nx, ny, nz, mat, ovf = pl.pallas_call(
         kernel,
@@ -1065,7 +1147,7 @@ def prepare_scene_pt(bvh: BvhArrays) -> PTScene:
 
 
 def _traverse_kernel_pt(
-    root_ref,  # SMEM (1, 1) i32 — THIS packet's traversal root (see roots=)
+    roots_ref,  # SMEM (B,) i32 scalar-prefetch — per-packet traversal roots
     live_ref,  # SMEM (1, 1) i32
     node_box_ref,  # VMEM (N, 48) f32
     node_links_ref,  # VMEM (N, 8) i32
@@ -1105,7 +1187,7 @@ def _traverse_kernel_pt(
     sgy = jnp.where(rays_ref[0, 4, 0, 0] > 0.0, one, -one)
     sgz = jnp.where(rays_ref[0, 5, 0, 0] > 0.0, one, -one)
 
-    root = root_ref[0, 0]
+    root = roots_ref[pl.program_id(0)]
     stack_ref[0] = root
     live = pl.program_id(0) < live_ref[0, 0]
 
@@ -1401,38 +1483,40 @@ def trace_packets_pallas_pt(
         live_packets = B
     live = jnp.asarray(live_packets, jnp.int32).reshape(1, 1)
     if roots is None:
-        root_arg = scene.root
-        root_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        root_arg = jnp.broadcast_to(scene.root.reshape(()), (B,)).astype(jnp.int32)
     else:
-        root_arg = jnp.asarray(roots, jnp.int32).reshape(B, 1)
-        root_spec = pl.BlockSpec(
-            (1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM
-        )
+        root_arg = jnp.asarray(roots, jnp.int32).reshape(B)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        # Per-packet roots ride the scalar-prefetch slot: Mosaic gives the
+        # kernel the whole (B,) SMEM array, indexed by program_id (a
+        # blocked (1,1) SMEM spec does not lower on TPU).
+        num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            root_spec,  # root: (1,1) shared or (B,1) per-packet
             pl.BlockSpec(memory_space=pltpu.SMEM),  # live_packets
             pl.BlockSpec(
-                scene.node_box.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+                scene.node_box.shape, lambda i, r: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                scene.node_links.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+                scene.node_links.shape, lambda i, r: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                scene.tri_data.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+                scene.tri_data.shape, lambda i, r: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 9, S, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, 9, S, LANES), lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (1, S, LANES), lambda i, r: (i, 0, 0), memory_space=pltpu.VMEM
+            )
         ]
         * 4
         + [
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (1, 1, LANES), lambda i, r: (i, 0, 0), memory_space=pltpu.VMEM
+            )
         ],
         scratch_shapes=[
             pltpu.SMEM((stack_size,), jnp.int32),
@@ -1470,17 +1554,16 @@ def trace_packets_pallas_pt(
 
 
 def trace_scene(scene, rays9, *, stack_size: int, t_max: float = np.inf, interpret: bool = False, live_packets=None):
-    """Dispatch a packet trace to the f32 or quantized kernel by scene type."""
-    fn = (
-        trace_packets_pallas_q
-        if isinstance(scene, QuantizedPallasScene)
-        else trace_packets_pallas
-    )
-    return fn(
-        scene,
-        rays9,
+    """Dispatch a packet trace to the f32, quantized, or HBM-streamed
+    kernel by scene type."""
+    kwargs = dict(
         stack_size=stack_size,
         t_max=t_max,
         interpret=interpret,
         live_packets=live_packets,
     )
+    if isinstance(scene, QuantizedHbmScene):
+        return trace_packets_pallas_q(scene, rays9, hbm_tris=True, **kwargs)
+    if isinstance(scene, QuantizedPallasScene):
+        return trace_packets_pallas_q(scene, rays9, **kwargs)
+    return trace_packets_pallas(scene, rays9, **kwargs)

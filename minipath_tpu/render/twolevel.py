@@ -87,29 +87,61 @@ def build_treelets(arrays: BvhArrays, levels: int = 2) -> Treelets:
     )
 
 
+def _broad_chunk(box_min, box_max, origin, inv, live_mask):
+    """Slab entry distances of every ray against one treelet chunk:
+    returns ``(entry, hit)`` with shape ``(N, Tc)`` — per-axis accumulation
+    so nothing wider than ``(N, Tc)`` materializes."""
+    t_entry = jnp.zeros((origin.shape[0], box_min.shape[0]), jnp.float32)
+    t_exit = jnp.full_like(t_entry, jnp.inf)
+    for ax in range(3):
+        t0 = (box_min[None, :, ax] - origin[:, ax, None]) * inv[:, ax, None]
+        t1 = (box_max[None, :, ax] - origin[:, ax, None]) * inv[:, ax, None]
+        t_entry = jnp.maximum(t_entry, jnp.minimum(t0, t1))
+        t_exit = jnp.minimum(t_exit, jnp.maximum(t0, t1))
+    hit = (t_entry <= t_exit) & live_mask[:, None]
+    return jnp.where(hit, t_entry, jnp.inf), hit
+
+
 def broad_phase(tl: Treelets, origin, direction, inv_direction, live_mask, K: int):
     """Dense ray-vs-treelet slab test; returns each ray's ``K`` nearest
     treelets. ``(tid, entry, valid, overflow)``: ``tid`` ``(N, K)`` treelet
     ids ordered by entry distance, ``entry`` their entry-t (+inf on dead
     slots), ``valid`` the slot mask, ``overflow`` rays intersecting more
-    than ``K`` treelets (they must fall back to a global-root trace)."""
+    than ``K`` treelets (they must fall back to a global-root trace).
+
+    Treelets are processed in chunks of 64 with a running top-K merge so
+    HBM never holds more than an ``(N, 64 + K)`` buffer (a flat ``(N, T)``
+    pass at T=512 on a 4M-ray wavefront would need ~8 GB)."""
     BIG = jnp.float32(1e30)
     inv = jnp.clip(inv_direction, -BIG, BIG)  # NaN-free like the kernels
-    o = origin[:, None, :]  # (N, 1, 3)
-    t0 = (tl.box_min[None, :, :] - o) * inv[:, None, :]
-    t1 = (tl.box_max[None, :, :] - o) * inv[:, None, :]
-    tmin = jnp.minimum(t0, t1)
-    tmax = jnp.maximum(t0, t1)
-    t_entry = jnp.maximum(jnp.max(tmin, axis=-1), 0.0)  # (N, T)
-    t_exit = jnp.min(tmax, axis=-1)
-    hit = (t_entry <= t_exit) & live_mask[:, None]
-    count = jnp.sum(hit.astype(jnp.int32), axis=-1)
-    entry = jnp.where(hit, t_entry, jnp.inf)
-    neg, tid = jax.lax.top_k(-entry, K)  # nearest K treelets
-    entry_k = -neg
-    valid = jnp.isfinite(entry_k)
+    T = int(tl.box_min.shape[0])
+    CHUNK = 64
+    best_entry = None
+    best_tid = None
+    count = jnp.zeros((origin.shape[0],), jnp.int32)
+    for c0 in range(0, T, CHUNK):
+        c1 = min(T, c0 + CHUNK)
+        entry, hit = _broad_chunk(
+            tl.box_min[c0:c1], tl.box_max[c0:c1], origin, inv, live_mask
+        )
+        count = count + jnp.sum(hit.astype(jnp.int32), axis=-1)
+        tid = jnp.arange(c0, c1, dtype=jnp.int32)[None, :] + jnp.zeros_like(
+            entry, jnp.int32
+        )
+        if best_entry is not None:
+            entry = jnp.concatenate([best_entry, entry], axis=1)
+            tid = jnp.concatenate([best_tid, tid], axis=1)
+        k = min(K, entry.shape[1])
+        neg, pos = jax.lax.top_k(-entry, k)
+        best_entry = -neg
+        best_tid = jnp.take_along_axis(tid, pos, axis=1)
+    if best_entry.shape[1] < K:  # fewer treelets than K slots
+        pad = K - best_entry.shape[1]
+        best_entry = jnp.pad(best_entry, ((0, 0), (0, pad)), constant_values=np.inf)
+        best_tid = jnp.pad(best_tid, ((0, 0), (0, pad)))
+    valid = jnp.isfinite(best_entry)
     overflow = count > K
-    return tid, entry_k, valid, overflow
+    return best_tid, best_entry, valid, overflow
 
 
 def _octant(d):

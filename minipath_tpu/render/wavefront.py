@@ -79,14 +79,57 @@ def scatter(
     return scatter_full(materials, key, direction, normal, mat_id)[:4]
 
 
+# Fuzz below this is a perfect mirror (delta lobe, pdf-less); at or above
+# it the metal becomes a sampleable glossy lobe NEE can cover.
+GLOSSY_MIN_FUZZ = 1e-3
+
+
+def phong_exponent(fuzz):
+    """Cosine-power exponent matched to the metal ``fuzz`` parameter via
+    the standard roughness mapping ``n = 2/fuzz^2 - 2`` (fuzz 0.1 -> a
+    tight ~200-power lobe, fuzz 1 -> cosine)."""
+    return 2.0 / jnp.maximum(fuzz, GLOSSY_MIN_FUZZ) ** 2 - 2.0
+
+
+def phong_pdf(n_exp, cos_alpha):
+    """Solid-angle pdf of the normalized cosine-power lobe at angle
+    ``alpha`` from its axis (stable for exponents up to ~1e6)."""
+    c = jnp.clip(cos_alpha, 0.0, 1.0)
+    powed = jnp.exp(n_exp * jnp.log(jnp.maximum(c, 1e-12)))
+    return jnp.where(c > 0.0, (n_exp + 1.0) / (2.0 * np.pi) * powed, 0.0)
+
+
+def _orthobasis(w):
+    """Two unit tangents orthogonal to unit vectors ``w`` ``(..., 3)``."""
+    a = jnp.where(
+        (jnp.abs(w[..., 0:1]) > 0.9),
+        jnp.asarray([0.0, 1.0, 0.0], w.dtype),
+        jnp.asarray([1.0, 0.0, 0.0], w.dtype),
+    )
+    t1 = _normalize(jnp.cross(a, w))
+    t2 = jnp.cross(w, t1)
+    return t1, t2
+
+
 def scatter_full(
     materials: MaterialTable, key, direction, normal, mat_id
 ):
     """:func:`scatter` plus the MIS inputs next-event estimation needs:
     returns ``(new_direction, attenuation, emitted, terminate, pdf,
     diffuse)`` where ``pdf`` is the solid-angle pdf of the sampled
-    direction for diffuse (cosine-weighted Lambertian) lanes and 0 for
-    specular/emissive lanes, and ``diffuse`` marks Lambertian lanes."""
+    direction for the sampleable lobes — cosine-weighted Lambertian and
+    glossy (fuzzy) metal — and 0 for delta/emissive lanes; ``diffuse``
+    marks Lambertian lanes (NEE uses the material table to identify glossy
+    lanes and their lobe).
+
+    Fuzzy metal is a normalized Phong lobe about the mirror direction
+    (:func:`phong_exponent`), which has a closed-form pdf — the "masked
+    BSDF sampling" north star extended so next-event estimation covers
+    glossy surfaces instead of skipping them. The implied BRDF is
+    ``albedo * phong_pdf / cos_in``, making lobe sampling contribute
+    exactly ``albedo`` per bounce (the same throughput rule as the
+    reference-style fuzz-sphere metal it replaces). ``fuzz <
+    GLOSSY_MIN_FUZZ`` stays a perfect mirror (delta, pdf 0)."""
     kind = materials.kind[mat_id]  # (...)
     albedo = materials.albedo[mat_id]  # (..., 3)
     emission = materials.emission[mat_id]
@@ -105,11 +148,24 @@ def scatter_full(
     lam_bad = jnp.sum(lam_dir * nf, axis=-1, keepdims=True) <= 1e-6
     lam_dir = jnp.where(lam_bad, nf, lam_dir)
 
-    # Metal: mirror + fuzz.
-    met_dir = _normalize(
-        _reflect(direction, nf) + param[..., None] * _sample_unit_vector(k_fuzz, batch)
+    # Metal: perfect mirror when fuzz ~ 0, else a cosine-power lobe about
+    # the mirror direction.
+    refl = _normalize(_reflect(direction, nf))
+    glossy = param >= GLOSSY_MIN_FUZZ
+    n_exp = phong_exponent(param)
+    u = jax.random.uniform(k_fuzz, batch + (2,))
+    cos_a = jnp.exp(jnp.log(jnp.maximum(u[..., 0], 1e-12)) / (n_exp + 1.0))
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+    phi = 2.0 * np.pi * u[..., 1]
+    t1, t2 = _orthobasis(refl)
+    lobe_dir = (
+        refl * cos_a[..., None]
+        + t1 * (sin_a * jnp.cos(phi))[..., None]
+        + t2 * (sin_a * jnp.sin(phi))[..., None]
     )
+    met_dir = jnp.where(glossy[..., None], lobe_dir, refl)
     met_absorbed = jnp.sum(met_dir * nf, axis=-1) <= 0.0
+    met_pdf = jnp.where(glossy, phong_pdf(n_exp, cos_a), 0.0)
 
     # Dielectric: refract or reflect (Schlick).
     ior = jnp.maximum(param, 1.0001)
@@ -140,12 +196,14 @@ def scatter_full(
     )
     emitted = jnp.where(is_emi[..., None], emission, 0.0)
     terminate = is_emi | (is_met[..., 0] & met_absorbed)
-    # Cosine-weighted hemisphere pdf for the Lambertian sample; specular
-    # lanes (delta or near-delta) report 0 so emitter hits through them get
-    # full MIS weight.
+    # Solid-angle pdf of the sampled direction for the sampleable lobes;
+    # delta lanes (mirror, dielectric) report 0 so emitter hits through
+    # them get full MIS weight.
     lam_pdf = jnp.maximum(jnp.sum(new_dir * nf, axis=-1), 0.0) / np.pi
     diffuse = is_lam[..., 0]
-    pdf = jnp.where(diffuse, lam_pdf, 0.0)
+    pdf = jnp.where(
+        diffuse, lam_pdf, jnp.where(is_met[..., 0], met_pdf, 0.0)
+    )
     return new_dir, attenuation, emitted, terminate, pdf, diffuse
 
 
@@ -643,10 +701,16 @@ def _pt_trace(
         nf = jnp.where(d_dot_n < 0, kh.normal, -kh.normal)
 
         if nee:
-            # Next-event estimation at diffuse vertices: sample one light
-            # point, trace the occlusion segment, add the MIS-weighted
-            # direct contribution.
-            cand = diffuse & hit
+            # Next-event estimation at diffuse AND glossy vertices: sample
+            # one light point, trace the occlusion segment, add the
+            # MIS-weighted direct contribution. Glossy metal participates
+            # through its Phong lobe (closed-form pdf); mirror/dielectric
+            # lanes are delta lobes NEE cannot cover and keep full BSDF
+            # weight instead.
+            kindv = materials.kind[kh.material]
+            fuzzv = materials.param[kh.material]
+            glossy = (kindv == METAL) & (fuzzv >= GLOSSY_MIN_FUZZ)
+            cand = (diffuse | glossy) & hit
             lkey = jax.random.fold_in(bkey, 11)
             sh_o = point + nf * _EPS
             y, wi, pdf_nee, em_l, cos_y = sample_lights(lights, lkey, sh_o)
@@ -683,14 +747,25 @@ def _pt_trace(
             occ_s = shadow_tracer(tracer_state, sh_o_eff, seg_eff, n_cand)
             occluded = jnp.zeros_like(occ_s).at[order].set(occ_s)
             albedo = materials.albedo[kh.material]
+            # BSDF value x cos and BSDF pdf toward the light, per lobe:
+            # Lambertian f*cos = albedo/pi * cos_x (pdf cos_x/pi); glossy
+            # f*cos = albedo * phong_pdf(wi) (the lobe's implied BRDF —
+            # see scatter_full), pdf = the same phong_pdf.
+            refl_v = _normalize(_reflect(state.direction, nf))
+            lobe_pdf_L = phong_pdf(
+                phong_exponent(fuzzv), jnp.sum(wi * refl_v, axis=-1)
+            )
+            pdf_b_L = jnp.where(glossy, lobe_pdf_L, cos_x / np.pi)
+            fcos = jnp.where(
+                glossy[..., None],
+                albedo * lobe_pdf_L[..., None],
+                albedo / np.pi * cos_x[..., None],
+            )
             w_nee = pdf_nee * pdf_nee / (
-                pdf_nee * pdf_nee + (cos_x / np.pi) ** 2
+                pdf_nee * pdf_nee + pdf_b_L * pdf_b_L
             )
             contrib = (
-                state.throughput
-                * (albedo / np.pi)
-                * em_l
-                * (cos_x / pdf_nee * w_nee)[..., None]
+                state.throughput * fcos * em_l * (w_nee / pdf_nee)[..., None]
             )
             radiance = radiance + jnp.where(
                 (cand & ~occluded)[..., None], contrib, 0.0
@@ -725,7 +800,10 @@ def _pt_trace(
             radiance=radiance,
             pixel=state.pixel,
             active=active,
-            prev_pdf=jnp.where(hit & diffuse, bsdf_pdf, 0.0) if nee else None,
+            # bsdf_pdf is already 0 for delta lobes, so emitter hits through
+            # mirrors/glass keep full weight; diffuse AND glossy carry their
+            # lobe pdf into the next vertex's MIS.
+            prev_pdf=jnp.where(hit, bsdf_pdf, 0.0) if nee else None,
         )
 
     # Paths still active after the bounce budget contribute nothing more.

@@ -75,16 +75,26 @@ class TriangleBvh:
         Automatic layout selection: the f32 layout when it fits the kernel's
         VMEM budget (~8% faster on a 250k-tri scene), else the 16-bit
         quantized layout (half the footprint — roughly twice the on-chip
-        triangle capacity, the reference's compressed-geometry role). Scenes
-        too big for either raise; use the XLA engine then.
+        triangle capacity, the reference's compressed-geometry role), else
+        the HBM-streamed quantized layout (triangles stay in HBM, leaves
+        DMA'd on demand — scene size bounded only by device memory, the
+        reference's render-anything-in-RAM property).
         """
         if self._pallas_scene is None:
-            from minipath_tpu.render.pallas_kernels import prepare_scene
+            from minipath_tpu.render.pallas_kernels import (
+                prepare_scene,
+                prepare_scene_quantized,
+            )
 
             try:
                 self._pallas_scene = prepare_scene(self.arrays)
             except ValueError:
-                self._pallas_scene = self.quantized_scene
+                try:
+                    self._pallas_scene = self.quantized_scene
+                except ValueError:
+                    self._pallas_scene = prepare_scene_quantized(
+                        self.host_arrays, hbm_tris=True
+                    )
         return self._pallas_scene
 
     @property

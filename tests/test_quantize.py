@@ -312,3 +312,43 @@ def test_pallas_scene_auto_fallback(monkeypatch):
     scene = obj2.pallas_scene
     assert isinstance(scene, pk.QuantizedPallasScene)
     assert scene.vmem_bytes() <= f32_bytes - 1
+
+
+def test_hbm_streamed_kernel_matches_vmem_quantized(rng):
+    """The HBM-streamed leaf-DMA kernel must return bit-identical results
+    to the VMEM-resident quantized kernel (same decompression arithmetic,
+    only the triangle rows' residence differs)."""
+    import jax.numpy as jnp
+
+    from minipath_tpu.render.pallas_kernels import (
+        LEAF_DMA_ROWS,
+        prepare_scene_quantized,
+        trace_packets_pallas_q,
+    )
+
+    mesh = make_uv_sphere(1.0, rings=12, segments=24)
+    res = build_bvh(mesh)
+    q = prepare_scene_quantized(res.arrays)
+    qh = prepare_scene_quantized(res.arrays, hbm_tris=True)
+    assert qh.tri_q.shape[0] == q.tri_q.shape[0] + LEAF_DMA_ROWS
+    assert qh.vmem_bytes() < q.vmem_bytes()
+
+    n = 512
+    o = jnp.asarray(rng.uniform(-3, 3, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    inv = jnp.where(d == 0, jnp.inf, 1.0 / d)
+    r9 = jnp.concatenate([o, d, inv], -1)
+    r9 = jnp.swapaxes(r9.reshape(2, 256, 9), 1, 2).reshape(2, 9, 2, 128)
+    stack = res.recommended_stack_size
+    a = trace_packets_pallas_q(q, r9, stack_size=stack, interpret=True)
+    b = trace_packets_pallas_q(
+        qh, r9, stack_size=stack, interpret=True, hbm_tris=True
+    )
+    assert (np.asarray(a.tri) >= 0).sum() > 0
+    np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(b.tri))
+    np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(a.normal), np.asarray(b.normal), rtol=1e-6
+    )

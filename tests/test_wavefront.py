@@ -418,6 +418,128 @@ def test_q_shadow_tracer_matches_xla(rng):
     assert qo.any() and not qo.all()
 
 
+def _metal_floor_and_panel_scene(fuzz, panel_size=20.0, strength=2.0):
+    """Fuzzy-METAL floor (mat 0) + emissive panel above (mat 1)."""
+    from minipath_tpu.scene.procedural import merge_meshes
+
+    floor = make_quad(100.0)
+    pos = floor.positions.copy()
+    floor.positions = np.stack([pos[:, 0], pos[:, 2], pos[:, 1]], axis=-1)
+    panel = make_quad(panel_size)
+    ppos = panel.positions.copy()
+    panel.positions = np.stack(
+        [ppos[:, 0], np.full_like(ppos[:, 2], 8.0), ppos[:, 1]], axis=-1
+    )
+    mesh = merge_meshes([floor, panel])
+    mats = np.zeros(mesh.triangle_count, np.int32)
+    mats[floor.triangle_count:] = 1
+    obj = TriangleBvh.build(mesh, materials=mats)
+    table = material_table(
+        [metal((0.9, 0.9, 0.9), fuzz), emissive((1.0, 1.0, 1.0), strength)]
+    )
+    return obj, table
+
+
+class TestGlossyNee:
+    """NEE over the glossy (Phong-lobe) metal BSDF — mean parity and
+    variance reduction (the 'masked BSDF sampling' north star extended to
+    rough metal instead of treating it as specular)."""
+
+    def test_glossy_pdf_normalized(self):
+        # The lobe pdf must integrate to 1 over the sphere: uniform-sphere
+        # Monte Carlo of phong_pdf.
+        from minipath_tpu.render.wavefront import phong_exponent, phong_pdf
+
+        rng = np.random.default_rng(5)
+        d = rng.normal(size=(200_000, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        cos_a = d[:, 2]  # lobe axis = +z
+        for fuzz in (0.2, 0.5, 1.0):
+            n = float(phong_exponent(jnp.float32(fuzz)))
+            pdf = np.asarray(phong_pdf(jnp.float32(n), jnp.asarray(cos_a, jnp.float32)))
+            integral = pdf.mean() * 4.0 * np.pi
+            np.testing.assert_allclose(integral, 1.0, rtol=0.05)
+
+    def test_scatter_reports_lobe_pdf(self):
+        # scatter_full's pdf for a glossy lane equals phong_pdf at the
+        # sampled direction's lobe angle (the MIS contract).
+        from minipath_tpu.render.wavefront import (
+            phong_exponent,
+            phong_pdf,
+            scatter_full,
+        )
+
+        table = material_table([metal((0.8, 0.8, 0.8), 0.4)])
+        n = 256
+        direction = jnp.asarray(
+            np.tile(np.array([0.0, -1.0, 0.0], np.float32), (n, 1))
+        )
+        normal = jnp.asarray(np.tile(np.array([0.0, 1.0, 0.0], np.float32), (n, 1)))
+        mat = jnp.zeros((n,), jnp.int32)
+        nd, att, em, term, pdf, diffuse = scatter_full(
+            table, jax.random.key(3), direction, normal, mat
+        )
+        refl = np.array([0.0, 1.0, 0.0], np.float32)
+        cos_a = np.clip(np.asarray(nd) @ refl, -1, 1)
+        n_exp = float(phong_exponent(jnp.float32(0.4)))
+        want = np.asarray(phong_pdf(jnp.float32(n_exp), jnp.asarray(cos_a)))
+        np.testing.assert_allclose(np.asarray(pdf), want, rtol=1e-3, atol=1e-6)
+        assert not np.asarray(diffuse).any()
+
+    def test_glossy_nee_mean_matches_bsdf_only(self):
+        obj, table = _metal_floor_and_panel_scene(fuzz=0.5)
+        lights, shadow = _nee_bits(obj, table)
+        cam = _down_camera()
+        env = Environment.none()
+        sampler = cam.build_sampler((16, 16))
+        tr, tr_state = _tracer(obj)
+        kw = dict(width=16, height=16, bounces=3, env=env, px_block=(16, 16))
+        a = np.asarray(render_frame_pt(
+            tr, tr_state, table, sampler, jax.random.key(1),
+            spp=96, samples_per_packet=32, **kw,
+        ))
+        b = np.asarray(render_frame_pt(
+            tr, tr_state, table, sampler, jax.random.key(2),
+            spp=96, samples_per_packet=32,
+            lights=lights, shadow_tracer=shadow, **kw,
+        ))
+        assert b[..., :3].mean() > 0.05
+        np.testing.assert_allclose(
+            a[..., :3].mean(), b[..., :3].mean(), rtol=0.12
+        )
+
+    def test_glossy_nee_reduces_variance(self):
+        # Rough metal + small light: the lobe rarely finds the panel by
+        # sampling; NEE must cut variance markedly at equal mean.
+        obj, table = _metal_floor_and_panel_scene(
+            fuzz=0.8, panel_size=2.0, strength=20.0
+        )
+        lights, shadow = _nee_bits(obj, table)
+        cam = _down_camera()
+        env = Environment.none()
+        sampler = cam.build_sampler((8, 8))
+        tr, tr_state = _tracer(obj)
+        kw = dict(
+            width=8, height=8, spp=4, bounces=2, env=env,
+            px_block=(8, 8), samples_per_packet=4,
+        )
+
+        def frames(**extra):
+            return np.stack([
+                np.asarray(render_frame_pt(
+                    tr, tr_state, table, sampler, jax.random.key(200 + i),
+                    **kw, **extra,
+                ))[..., :3]
+                for i in range(6)
+            ])
+
+        fb = frames()
+        fn = frames(lights=lights, shadow_tracer=shadow)
+        var_b = fb.var(axis=0).mean()
+        var_n = fn.var(axis=0).mean()
+        assert var_n < var_b * 0.6, (var_n, var_b)
+
+
 def test_mis_pdfs_are_consistent():
     """The two halves of the MIS power heuristic must see the SAME light
     pdf for the same transport path: hit_light_pdf (BSDF side, from tri id

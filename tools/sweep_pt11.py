@@ -100,7 +100,7 @@ def main():
                 scene, tl, stack_size=stack, packet_size=PKT,
                 K=8, rounds=rounds,
             )
-            variants.append((f"2lvl L{levels}(T={T}) r{rounds}", tr, st))
+            variants.append((f"2lvl L{levels}(T={T}) r{rounds}", jax.jit(tr), st))
 
     @jax.jit
     def base_sortkey(o, d, active):
