@@ -1089,6 +1089,17 @@ def trace_packets_pallas_q(
 #   hide.
 # * packet_size 1024/4096: 2048 wins (tools/sweep_pt7.py); leaf_max 8/16:
 #   24 wins (tools/sweep_pt9.py).
+# * two-level binned traversal (render/twolevel.py, tools/sweep_pt11.py):
+#   broad-phase treelet binning + per-packet roots; exact parity but
+#   2.5-7x SLOWER than the flat sorted wavefront at every bounce depth —
+#   the per-round XLA re-binning (sort + aligned scatter over the 4.15M
+#   wavefront) costs more than a whole flat trace, and treelet-interior
+#   unions stay large. Kept as the per-packet-roots reference user.
+# * per-row leaf AABB pre-test (row box in tri_data[80:86], lax.cond
+#   around the 8-lane MT body): wavefront 4.25 -> 5.16 s, megakernel
+#   19.2 -> 25.3 s — rows subdivide an already-passed leaf box too
+#   coarsely (count <= 3), so the skip rate never pays for the per-row
+#   slab + cond. Reverted.
 
 
 class PTScene(NamedTuple):

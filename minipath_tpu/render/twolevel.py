@@ -28,6 +28,20 @@ back to a final global-root pass — exact, just unamortized.
 
 The result is bit-equivalent to a single-root trace: every (ray, subtree)
 intersection is either tested in some round or provably occluded.
+
+**Measured verdict (tools/sweep_pt11.py, one v5e, atrium 250k tris, real
+bounce-1..4 ray sets): a DEAD END on this hardware.** Parity is exact, but
+every configuration loses to the flat sorted wavefront: L2 (61 treelets)
+runs 2.5-3.4x slower, L3 (297 treelets) 5-7x slower, at every bounce depth
+(e.g. bounce 3: flat 933 ms / 3.2 live-Mrays/s vs L2r1 2375 ms, L3r1
+5518 ms). Two reasons: (a) the XLA-side re-binning — broad phase + one
+argsort + aligned scatter/gathers per round over the 4.15M-ray wavefront —
+costs more than a whole flat trace; (b) treelet-confined packets still pay
+the union *within* the treelet, and with ~17k rays per treelet per round
+the direction spread inside a treelet covers most of it anyway. The module
+stays: it is the tested reference user of the kernel's per-packet
+``roots=`` feature, and the honest record of why the flat sorted wavefront
+is the production path (see the PT tuning map in pallas_kernels.py).
 """
 
 from __future__ import annotations
