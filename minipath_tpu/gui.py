@@ -87,6 +87,7 @@ class GuiController:
         """Drain pending tiles into the image; escalate preview -> full.
         Returns True if the display should repaint."""
         dirty = False
+        full = None  # progress.image() snapshot, taken once per drain
         while True:
             try:
                 tile, finished = self.pending.get_nowait()
@@ -97,7 +98,8 @@ class GuiController:
                 self.in_progress_tiles = [
                     t for t in self.in_progress_tiles if not np.array_equal(t.min, tile.min)
                 ]
-                full = self.progress.image()
+                if full is None:
+                    full = self.progress.image()
                 x0, y0 = int(tile.min[0]), int(tile.min[1])
                 x1, y1 = int(tile.max[0]), int(tile.max[1])
                 with self._lock:

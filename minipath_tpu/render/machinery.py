@@ -234,7 +234,13 @@ def render(
     sampler = camera.build_sampler(settings.resolution)
     base_key = jax.random.key(seed)
 
-    tiles_per_dispatch = max(1, min(64, len(tiles)))
+    # With no tile callbacks nobody observes per-tile progress, so frame
+    # mode also batches as many tiles as memory allows per dispatch — every
+    # dispatch costs host/tunnel latency that dwarfs the compute at this
+    # workload size (BENCH_teapot phase timers).
+    frame_mode = started_tile_callback is None and finished_tile_callback is None
+    dispatch_cap = 1024 if frame_mode else 64
+    tiles_per_dispatch = max(1, min(dispatch_cap, len(tiles)))
     if mesh is not None:
         # Shard each dispatch's tile batch over the device mesh: replicated
         # scene (closed over), tiles split on the batch dim. This is the
@@ -313,24 +319,22 @@ def render(
                     ),
                 )
 
-    # Frame mode: with no tile callbacks nobody observes per-tile results,
-    # so tiles are placed into a device frame buffer (one fused
+    # Frame mode: tiles are placed into a device frame buffer (one fused
     # dynamic_update_slice program per batch) and the host fetches the
     # frame ONCE — the tunnel roundtrips per batch disappear.
-    frame_mode = started_tile_callback is None and finished_tile_callback is None
     if frame_mode:
         th, tw = tile_shape
         state.frame_dev = jnp.zeros((height + th, width + tw, 4), jnp.uint8)
 
         @jax.jit
         def place_tiles(frame, tiles_u8, origins_xy):
-            for k in range(tiles_per_dispatch):
-                frame = jax.lax.dynamic_update_slice(
-                    frame,
-                    tiles_u8[k],
-                    (origins_xy[k, 1], origins_xy[k, 0], jnp.int32(0)),
-                )
-            return frame
+            # One scatter for the whole batch (an unrolled
+            # dynamic_update_slice per tile would explode compile time at
+            # frame-mode batch sizes). Duplicate padded tiles carry
+            # identical content, so overlapping writes are benign.
+            yy = origins_xy[:, 1, None, None] + jnp.arange(th)[None, :, None]
+            xx = origins_xy[:, 0, None, None] + jnp.arange(tw)[None, None, :]
+            return frame.at[yy, xx].set(tiles_u8)
 
         def fetch_frame():
             frame = state.frame_dev

@@ -589,8 +589,12 @@ class QuantizedHbmScene(NamedTuple):
 
 # Leaf DMA transfer size in rows: the link format caps a leaf run at 7
 # packets (links.MAX_COUNT); every leaf copy moves this many rows so the
-# copy shape stays static (tri_q is padded by the same amount).
-LEAF_DMA_ROWS = 7
+# copy shape stays static (tri_q is padded by the same amount). 8 rather
+# than 7 keeps the copy aligned to the (8, 128) i32 tile — Mosaic rejects
+# unaligned DMA slices ("Slice shape along dimension 1 must be aligned to
+# tiling (128)"), which is also why the HBM variant pads tri rows from 64
+# to 128 words.
+LEAF_DMA_ROWS = 8
 
 
 def prepare_scene_quantized(bvh: BvhArrays, *, hbm_tris: bool = False):
@@ -604,8 +608,12 @@ def prepare_scene_quantized(bvh: BvhArrays, *, hbm_tris: bool = False):
     qs = build_quantized_scene(bvh)
     if hbm_tris:
         tri_q = jnp.asarray(qs.tri_q)
-        tri_q = jnp.concatenate(
-            [tri_q, jnp.zeros((LEAF_DMA_ROWS, tri_q.shape[1]), tri_q.dtype)]
+        # Pad rows to a full 128-word tile (DMA slice alignment) and append
+        # LEAF_DMA_ROWS overrun rows so the static-size leaf copy never
+        # runs off the end.
+        tri_q = jnp.pad(
+            tri_q,
+            ((0, LEAF_DMA_ROWS), (0, 128 - tri_q.shape[1])),
         )
         scene = QuantizedHbmScene(
             node_q=jnp.asarray(qs.node_q),

@@ -582,6 +582,7 @@ def _compact(state: _PathState, fine_direction: bool = True) -> _PathState:
         "bounces",
         "compaction",
         "shadow_tracer",
+        "shadow_sort",
     ),
 )
 def _pt_chunk(
@@ -600,6 +601,7 @@ def _pt_chunk(
     compaction: bool,
     lights=None,
     shadow_tracer=None,
+    shadow_sort: str = "dir",
 ):
     """Trace ``samples`` spp of camera paths; returns ``(B0, bp, 3)`` RGB
     sums per packet-pixel (same layout as the parity frame renderer)."""
@@ -609,7 +611,7 @@ def _pt_chunk(
     return _pt_trace(
         tracer_state, materials, env, rays9, key,
         tracer=tracer, samples=samples, bounces=bounces, compaction=compaction,
-        lights=lights, shadow_tracer=shadow_tracer,
+        lights=lights, shadow_tracer=shadow_tracer, shadow_sort=shadow_sort,
     )
 
 
@@ -626,6 +628,7 @@ def _pt_trace(
     compaction: bool,
     lights=None,
     shadow_tracer=None,
+    shadow_sort: str = "dir",
 ):
     """The bounce loop for an arbitrary camera-ray batch ``rays9``
     (whole frame or one device's shard). Returns ``(B0, bp, 3)`` sums.
@@ -732,11 +735,11 @@ def _pt_trace(
             hi = jnp.max(jnp.where(cand[..., None], sh_o_safe, -jnp.inf), axis=0)
             scale = 16.0 / jnp.maximum(hi - lo, 1e-6)
             cell = jnp.clip((sh_o_safe - lo) * scale, 0, 15).astype(jnp.int32)
-            skey = (
-                ((~cand).astype(jnp.int32) << 19)
-                | (_direction_bin(wi) << 12)
-                | _morton16(cell)
-            )
+            if shadow_sort == "dir":
+                skey = (_direction_bin(wi) << 12) | _morton16(cell)
+            else:  # "pos": position-major for light-converging segments
+                skey = (_morton16(cell) << 7) | _direction_bin(wi)
+            skey = (((~cand).astype(jnp.int32)) << 19) | skey
             order = jnp.argsort(skey)
             cand_s = cand[order]
             # Park the (now-suffix) non-candidate lanes far outside the
@@ -924,6 +927,7 @@ def render_frame_pt(
     compaction: bool = True,
     lights: LightTable | None = None,
     shadow_tracer=None,
+    shadow_sort: str = "dir",
 ) -> jnp.ndarray:
     """Path-traced frame: mean RGB + alpha=1, shape ``(H, W, 4)``.
 
@@ -960,6 +964,7 @@ def render_frame_pt(
             compaction=compaction,
             lights=lights,
             shadow_tracer=shadow_tracer,
+            shadow_sort=shadow_sort,
         )
         acc = part if acc is None else acc + part
         done += n

@@ -25,22 +25,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def drive(controller, mode, timeout=300.0):
     """Pump update() until the given mode's render finishes; returns
-    (first_tile_s, done_s, tiles)."""
+    (first_tile_s, done_s, tiles).
+
+    Times are read off the render HANDLE captured at entry — update() may
+    escalate preview -> full mid-pump, which swaps controller.progress to a
+    fresh (0/total) snapshot and would otherwise lose the first-tile time
+    of a fast warm preview."""
     t0 = time.time()
+    prog = controller.progress
+    total = prog.progress().total
     first = None
     tiles = 0
     while time.time() - t0 < timeout:
-        if controller.update():
-            snap = controller.progress.progress()
-            if snap.finished > tiles:
-                tiles = snap.finished
-                if first is None:
-                    first = time.time() - t0
+        controller.update()
+        snap = prog.progress()
+        if snap.finished > 0 and first is None:
+            first = time.time() - t0
+        tiles = snap.finished
         if controller.mode != mode or (
-            controller.progress is not None
-            and controller.progress.is_finished()
-            and controller.progress.progress().finished
-            == controller.progress.progress().total
+            prog.is_finished() and tiles == total
         ):
             break
         time.sleep(0.005)

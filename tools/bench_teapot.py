@@ -47,6 +47,13 @@ def cpu_proxy_seconds() -> float:
     (clean subprocess: the axon remote-TPU plugin honors JAX_PLATFORMS)."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # Strip the axon remote-TPU site package: its sitecustomize would try
+    # to claim the TPU this very process is holding (deadlock).
+    env["PYTHONPATH"] = ":".join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + [p for p in env.get("PYTHONPATH", "").split(":")
+           if p and ".axon_site" not in p]
+    )
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    os.path.join(os.path.dirname(os.path.dirname(
                        os.path.abspath(__file__))), ".jax_cache"))
