@@ -88,7 +88,9 @@ def main():
     out = {
         "workload": f"teapot {W}x{H}, preview 1 spp (gui.rs:216-224), 64-px tiles",
         "cold_preview_s": round(cold_s, 3),
-        "cold_first_tile_s": round(first_cold or 0.0, 3),
+        "cold_first_tile_s": (
+            round(first_cold, 3) if first_cold is not None else None
+        ),
         "warm_preview_s": round(min(done_warm, done_warm2), 3),
         "warm_first_tile_s": round(min(x for x in (first_warm, first_warm2) if x is not None), 3),
         "tiles": tiles_warm,
