@@ -658,8 +658,6 @@ def _pt_trace(
         prev_pdf=jnp.zeros((N,), jnp.float32) if nee else None,
     )
 
-    shadow_queue = []  # deferred NEE occlusion work, one entry per bounce
-
     for bounce in range(bounces):
         live = None
         if compaction and bounce > 0:
@@ -707,31 +705,66 @@ def _pt_trace(
 
         if nee:
             # Next-event estimation at diffuse AND glossy vertices: sample
-            # one light point and queue the occlusion segment + its
+            # one light point, trace the occlusion segment, add the
             # MIS-weighted direct contribution. Glossy metal participates
             # through its Phong lobe (closed-form pdf); mirror/dielectric
             # lanes are delta lobes NEE cannot cover and keep full BSDF
             # weight instead.
             #
-            # Occlusion is DEFERRED: segments from every bounce accumulate
-            # and trace in ONE batched anyhit launch after the bounce loop
-            # — visibility never feeds back into path continuation, so
-            # batching is estimator-identical, and one launch with
-            # `bounces`x the ray density sorts into far more coherent
-            # packets than per-bounce launches of parked-lane-diluted ones.
+            # Occlusion traces PER BOUNCE. A deferred variant (queue every
+            # bounce's segments, one bounces-times-denser anyhit launch
+            # after the loop) was measured SLOWER (11.75 s vs 10.2 s NEE
+            # frame): the packet count is the same either way, and the
+            # 5x-sized concat + argsort + scatter + segment_sum XLA glue
+            # costs more than the marginally-tighter packets save.
             kindv = materials.kind[kh.material]
             fuzzv = materials.param[kh.material]
             glossy = (kindv == METAL) & (fuzzv >= GLOSSY_MIN_FUZZ)
             cand = (diffuse | glossy) & hit
             lkey = jax.random.fold_in(bkey, 11)
             sh_o = point + nf * _EPS
-            y, wi, pdf_nee, em_l, cos_y = sample_lights(lights, lkey, sh_o)
+            y, wi, pdf_nee, em_l, cos_y, light_i = sample_lights(
+                lights, lkey, sh_o
+            )
             cos_x = jnp.sum(wi * nf, axis=-1)
             cand = cand & (cos_x > 0.0) & (cos_y > 1e-6) & (pdf_nee > 0.0)
             # Pull the light-side endpoint back by an ABSOLUTE epsilon
             # (matching the surface-side _EPS offset) so the occlusion
             # blind zone near the light doesn't scale with its distance.
             seg = y - wi * _EPS - sh_o
+            # The shadow batch has its OWN coherence structure: segment
+            # directions point at sampled light points, not along the bounce
+            # rays the wavefront was sorted by. Re-sort so candidates form a
+            # compact prefix of coherent packets — the anyhit kernel then
+            # traverses only ceil(#cand/P) packets instead of every live
+            # packet half-filled with parked lanes. Position-major is the
+            # measured default (10.22 s vs direction-major 10.61 s NEE
+            # frame, tools/sweep_pt13.py): segments CONVERGE on the lights,
+            # so spatial neighbors run nearly parallel while a direction
+            # bin collects rays from all over the scene. "light" bins by
+            # the sampled emitter first — every ray in a packet then aims
+            # at the SAME panel.
+            sh_o_safe = jnp.where(cand[..., None], sh_o, 0.0)
+            lo = jnp.min(jnp.where(cand[..., None], sh_o_safe, jnp.inf), axis=0)
+            hi = jnp.max(jnp.where(cand[..., None], sh_o_safe, -jnp.inf), axis=0)
+            scale = 16.0 / jnp.maximum(hi - lo, 1e-6)
+            cell = jnp.clip((sh_o_safe - lo) * scale, 0, 15).astype(jnp.int32)
+            if shadow_sort == "dir":
+                skey = (_direction_bin(wi) << 12) | _morton16(cell)
+            elif shadow_sort == "light":
+                skey = (light_i.astype(jnp.int32) << 12) | _morton16(cell)
+            else:  # "pos": position-major for light-converging segments
+                skey = (_morton16(cell) << 7) | _direction_bin(wi)
+            skey = (((~cand).astype(jnp.int32)) << 27) | skey
+            order = jnp.argsort(skey)
+            cand_s = cand[order]
+            # Park the (now-suffix) non-candidate lanes far outside the
+            # scene so partial boundary packets miss at the root.
+            sh_o_eff = jnp.where(cand_s[..., None], sh_o[order], 1e9)
+            seg_eff = jnp.where(cand_s[..., None], seg[order], 1.0)
+            n_cand = jnp.sum(cand.astype(jnp.int32))
+            occ_s = shadow_tracer(tracer_state, sh_o_eff, seg_eff, n_cand)
+            occluded = jnp.zeros_like(occ_s).at[order].set(occ_s)
             albedo = materials.albedo[kh.material]
             # BSDF value x cos and BSDF pdf toward the light, per lobe:
             # Lambertian f*cos = albedo/pi * cos_x (pdf cos_x/pi); glossy
@@ -753,9 +786,8 @@ def _pt_trace(
             contrib = (
                 state.throughput * fcos * em_l * (w_nee / pdf_nee)[..., None]
             )
-            shadow_queue.append(
-                (sh_o, seg, jnp.where(cand[..., None], contrib, 0.0),
-                 cand, state.pixel)
+            radiance = radiance + jnp.where(
+                (cand & ~occluded)[..., None], contrib, 0.0
             )
 
         # Dielectric transmission crosses the surface: offset along the new
@@ -795,44 +827,6 @@ def _pt_trace(
 
     # Paths still active after the bounce budget contribute nothing more.
     rad = jax.ops.segment_sum(state.radiance, state.pixel, num_segments=N)
-
-    if nee:
-        # The deferred occlusion pass: every bounce's shadow segments in
-        # one sorted anyhit launch, unoccluded contributions summed into
-        # their pixels.
-        sh_o = jnp.concatenate([q[0] for q in shadow_queue])
-        seg = jnp.concatenate([q[1] for q in shadow_queue])
-        contrib = jnp.concatenate([q[2] for q in shadow_queue])
-        cand = jnp.concatenate([q[3] for q in shadow_queue])
-        pixel = jnp.concatenate([q[4] for q in shadow_queue])
-        # Sort candidates into a coherent prefix. Position-major is the
-        # measured key: shadow segments CONVERGE on the lights, so spatial
-        # neighbors run nearly parallel while a direction bin collects
-        # rays from all over the scene (pos 10.22 s vs dir 10.61 s NEE
-        # frame under per-bounce launches, tools/sweep_pt13.py).
-        sh_o_safe = jnp.where(cand[..., None], sh_o, 0.0)
-        lo = jnp.min(jnp.where(cand[..., None], sh_o_safe, jnp.inf), axis=0)
-        hi = jnp.max(jnp.where(cand[..., None], sh_o_safe, -jnp.inf), axis=0)
-        scale = 16.0 / jnp.maximum(hi - lo, 1e-6)
-        cell = jnp.clip((sh_o_safe - lo) * scale, 0, 15).astype(jnp.int32)
-        wi_n = _normalize(seg)
-        if shadow_sort == "dir":
-            skey = (_direction_bin(wi_n) << 12) | _morton16(cell)
-        else:  # "pos"
-            skey = (_morton16(cell) << 7) | _direction_bin(wi_n)
-        skey = (((~cand).astype(jnp.int32)) << 19) | skey
-        order = jnp.argsort(skey)
-        cand_s = cand[order]
-        # Park the (now-suffix) non-candidate lanes far outside the scene
-        # so partial boundary packets miss at the root.
-        sh_o_eff = jnp.where(cand_s[..., None], sh_o[order], 1e9)
-        seg_eff = jnp.where(cand_s[..., None], seg[order], 1.0)
-        n_cand = jnp.sum(cand.astype(jnp.int32))
-        occ_s = shadow_tracer(tracer_state, sh_o_eff, seg_eff, n_cand)
-        occluded = jnp.zeros_like(occ_s).at[order].set(occ_s)
-        direct = jnp.where((cand & ~occluded)[..., None], contrib, 0.0)
-        rad = rad + jax.ops.segment_sum(direct, pixel, num_segments=N)
-
     rad = rad.reshape(B0, P0, 3)
     bp = P0 // samples
     return rad.reshape(B0, samples, bp, 3).sum(axis=1)

@@ -22,6 +22,7 @@ store exact f32 world-space child boxes (the 16-bit quantized storage of
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass, field
 from typing import NamedTuple
 
@@ -32,6 +33,14 @@ from minipath_tpu.scene.obj_loader import MeshData
 from minipath_tpu.utils.stats import Stats
 
 _SAH_BINS = 16
+
+# Spatial-split (SBVH) tuning: a group is eligible for a spatial split only
+# when its best object split leaves children whose boxes overlap by more
+# than ``alpha`` of the root surface area (Stich et al. 2009 §4.1), and the
+# total reference count may grow to at most ``max_ref_ratio`` times the
+# triangle count before spatial splitting shuts off.
+_SBVH_ALPHA = 1e-5
+_SBVH_MAX_REF_RATIO = 1.6
 
 
 class BvhArrays(NamedTuple):
@@ -135,8 +144,61 @@ def _surface_area(bmin: np.ndarray, bmax: np.ndarray) -> np.ndarray:
     return 2.0 * (s[..., 0] * (s[..., 1] + s[..., 2]) + s[..., 1] * s[..., 2])
 
 
+class _Refs(NamedTuple):
+    """A group of triangle *references* during the build: triangle ids plus
+    each reference's own AABB. Without spatial splits a reference box is its
+    triangle's full box; a spatial split clips straddling references, so one
+    triangle may be referenced (with disjoint boxes) from several leaves."""
+
+    ids: np.ndarray  # (n,) int64 triangle ids (duplicates allowed)
+    bmin: np.ndarray  # (n, 3) f32
+    bmax: np.ndarray  # (n, 3) f32
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def take(self, mask: np.ndarray) -> "_Refs":
+        return _Refs(self.ids[mask], self.bmin[mask], self.bmax[mask])
+
+
+def _clip_tris_to_slab(verts: np.ndarray, axis: int, lo: float, hi: float):
+    """AABB of each triangle clipped to the axis slab ``[lo, hi]``.
+
+    ``verts`` is ``(n, 3, 3)``. The clipped polygon's vertices are exactly
+    the original vertices inside the slab plus the edge/plane crossing
+    points, so its AABB is the masked min/max over those candidates. Empty
+    results come out inverted (min > max)."""
+    x = verts[:, :, axis]
+    inside = (x >= lo) & (x <= hi)  # (n, 3)
+    vmin = np.where(inside[..., None], verts, np.inf).min(axis=1)
+    vmax = np.where(inside[..., None], verts, -np.inf).max(axis=1)
+    a = verts
+    b = verts[:, [1, 2, 0], :]
+    xa, xb = x, x[:, [1, 2, 0]]
+    d = xb - xa
+    safe_d = np.where(d == 0.0, 1.0, d)
+    for plane in (lo, hi):
+        t = (plane - xa) / safe_d
+        valid = (d != 0.0) & (t > 0.0) & (t < 1.0)
+        # Clamp before the multiply: an infinite plane (the final left/right
+        # chop) makes t infinite on parallel edges, and inf * 0 would emit
+        # NaN warnings even though `valid` masks those lanes out.
+        t = np.clip(t, 0.0, 1.0)
+        pt = a + t[..., None] * (b - a)  # (n, 3, 3)
+        pt[:, :, axis] = plane
+        vmin = np.minimum(vmin, np.where(valid[..., None], pt, np.inf).min(axis=1))
+        vmax = np.maximum(vmax, np.where(valid[..., None], pt, -np.inf).max(axis=1))
+    return vmin.astype(np.float32), vmax.astype(np.float32)
+
+
 class _Builder:
-    def __init__(self, mesh: MeshData, materials: np.ndarray, leaf_max: int = L.LEAF_NODE_MAX_TRIANGLES):
+    def __init__(
+        self,
+        mesh: MeshData,
+        materials: np.ndarray,
+        leaf_max: int = L.LEAF_NODE_MAX_TRIANGLES,
+        spatial_splits: bool = False,
+    ):
         self.mesh = mesh
         self.materials = materials
         assert 1 <= leaf_max <= L.LEAF_NODE_MAX_TRIANGLES
@@ -145,7 +207,16 @@ class _Builder:
         self.tri_verts = tv
         self.tri_min = tv.min(axis=1)
         self.tri_max = tv.max(axis=1)
-        self.centroids = tv.mean(axis=1)
+        self.spatial_splits = spatial_splits
+        self.ref_budget = (
+            int((_SBVH_MAX_REF_RATIO - 1.0) * len(tv)) if spatial_splits else 0
+        )
+        if len(tv):
+            self.root_sa = float(
+                _surface_area(self.tri_min.min(axis=0), self.tri_max.max(axis=0))
+            )
+        else:
+            self.root_sa = 1.0
 
         self.node_box_min: list = []
         self.node_box_max: list = []
@@ -162,7 +233,8 @@ class _Builder:
 
     # -- leaves ---------------------------------------------------------------
 
-    def build_leaf(self, idx: np.ndarray, depth: int) -> int:
+    def build_leaf(self, refs: _Refs, depth: int) -> int:
+        idx = refs.ids
         n = len(idx)
         assert 1 <= n <= self.leaf_max
         packet_count = -(-n // L.LEAF_NODE_PACKET_SIZE)
@@ -195,15 +267,17 @@ class _Builder:
 
     # -- splitting --------------------------------------------------------------
 
-    def _binary_split(self, idx: np.ndarray):
-        """Binned-SAH binary split; None if all centroids coincide."""
-        c = self.centroids[idx]
+    def _binary_split(self, refs: _Refs):
+        """Binned-SAH binary object split over reference-box centers.
+
+        Returns ``(cost, left, right)`` or None if all centers coincide."""
+        c = 0.5 * (refs.bmin + refs.bmax)
         cmin, cmax = c.min(axis=0), c.max(axis=0)
         extent = cmax - cmin
         if not np.any(extent > 0):
             return None
 
-        best = None  # (cost, axis, bins, split_bin)
+        best = None  # (cost, bins, split_bin)
         for axis in range(3):
             if extent[axis] <= 0:
                 continue
@@ -214,8 +288,8 @@ class _Builder:
             counts = np.bincount(b, minlength=_SAH_BINS)
             bmin = np.full((_SAH_BINS, 3), np.inf, np.float32)
             bmax = np.full((_SAH_BINS, 3), -np.inf, np.float32)
-            np.minimum.at(bmin, b, self.tri_min[idx])
-            np.maximum.at(bmax, b, self.tri_max[idx])
+            np.minimum.at(bmin, b, refs.bmin)
+            np.maximum.at(bmax, b, refs.bmax)
 
             # Prefix/suffix sweeps.
             pmin = np.minimum.accumulate(bmin, axis=0)
@@ -235,17 +309,145 @@ class _Builder:
             )
             i = int(np.argmin(cost))
             if np.isfinite(cost[i]) and (best is None or cost[i] < best[0]):
-                best = (float(cost[i]), axis, b, i)
+                best = (float(cost[i]), b, i)
 
         if best is None:
             return None
-        _, _, b, i = best
+        cost, b, i = best
         mask = b <= i
-        return idx[mask], idx[~mask]
+        return cost, refs.take(mask), refs.take(~mask)
 
-    def _split8(self, idx: np.ndarray) -> list:
+    def _spatial_split(self, refs: _Refs):
+        """Binned spatial split (SBVH, Stich et al. 2009 §4.2): bins chop
+        the GROUP box; straddling references contribute their triangle
+        clipped to each spanned bin, and performing the split clips them
+        into BOTH children. Returns ``(cost, left, right, n_dup)`` or None."""
+        gmin = refs.bmin.min(axis=0)
+        gmax = refs.bmax.max(axis=0)
+        extent = gmax - gmin
+        best = None  # (cost, axis, split_bin, scale)
+        for axis in range(3):
+            if extent[axis] <= 1e-12:
+                continue
+            scale = _SAH_BINS / float(extent[axis])
+            b_lo = np.clip(
+                ((refs.bmin[:, axis] - gmin[axis]) * scale).astype(np.int64),
+                0,
+                _SAH_BINS - 1,
+            )
+            b_hi = np.clip(
+                np.ceil((refs.bmax[:, axis] - gmin[axis]) * scale).astype(np.int64)
+                - 1,
+                b_lo,
+                _SAH_BINS - 1,
+            )
+            entry = np.bincount(b_lo, minlength=_SAH_BINS)
+            exit_ = np.bincount(b_hi, minlength=_SAH_BINS)
+            bmin = np.full((_SAH_BINS, 3), np.inf, np.float32)
+            bmax = np.full((_SAH_BINS, 3), -np.inf, np.float32)
+            whole = b_lo == b_hi  # refs entirely inside one bin
+            np.minimum.at(bmin, b_lo[whole], refs.bmin[whole])
+            np.maximum.at(bmax, b_lo[whole], refs.bmax[whole])
+            straddle = np.nonzero(~whole)[0]
+            for k in range(_SAH_BINS):
+                sel = straddle[(b_lo[straddle] <= k) & (b_hi[straddle] >= k)]
+                if not sel.size:
+                    continue
+                lo = gmin[axis] + k / scale
+                hi = gmin[axis] + (k + 1) / scale
+                cmin, cmax = _clip_tris_to_slab(
+                    self.tri_verts[refs.ids[sel]], axis, lo, hi
+                )
+                cmin = np.maximum(cmin, refs.bmin[sel])
+                cmax = np.minimum(cmax, refs.bmax[sel])
+                ok = (cmin <= cmax).all(axis=1)
+                if ok.any():
+                    bmin[k] = np.minimum(bmin[k], cmin[ok].min(axis=0))
+                    bmax[k] = np.maximum(bmax[k], cmax[ok].max(axis=0))
+
+            pmin = np.minimum.accumulate(bmin, axis=0)
+            pmax = np.maximum.accumulate(bmax, axis=0)
+            smin = np.minimum.accumulate(bmin[::-1], axis=0)[::-1]
+            smax = np.maximum.accumulate(bmax[::-1], axis=0)[::-1]
+            pcnt = np.cumsum(entry)  # refs entering at or before bin i
+            scnt = np.cumsum(exit_[::-1])[::-1]  # refs exiting at or after i
+            left_sa = _surface_area(pmin[:-1], pmax[:-1])
+            right_sa = _surface_area(smin[1:], smax[1:])
+            cost = np.where(
+                (pcnt[:-1] > 0) & (scnt[1:] > 0),
+                left_sa * pcnt[:-1] + right_sa * scnt[1:],
+                np.inf,
+            )
+            i = int(np.argmin(cost))
+            if np.isfinite(cost[i]) and (best is None or cost[i] < best[0]):
+                best = (float(cost[i]), axis, i, scale)
+
+        if best is None:
+            return None
+        cost, axis, i, scale = best
+        plane = gmin[axis] + (i + 1) / scale
+        go_left = refs.bmin[:, axis] < plane
+        go_right = refs.bmax[:, axis] > plane
+        # Refs exactly ON the plane (zero extent at it) must land somewhere.
+        neither = ~(go_left | go_right)
+        go_left |= neither
+        both = np.nonzero(go_left & go_right)[0]
+        left = refs.take(go_left)
+        right = refs.take(go_right)
+        if both.size:
+            # Clip the straddlers' boxes to their side of the plane via the
+            # true triangle polygon (tighter than a box chop). Degenerate
+            # clips (triangle only touches the plane) fall back to the chop.
+            for side, mask_side, lo, hi in (
+                (left, go_left, -np.inf, plane),
+                (right, go_right, plane, np.inf),
+            ):
+                pos = np.cumsum(mask_side) - 1  # ref row in `side`
+                rows = pos[both]
+                cmin, cmax = _clip_tris_to_slab(
+                    self.tri_verts[refs.ids[both]], axis, lo, hi
+                )
+                cmin = np.maximum(cmin, refs.bmin[both])
+                cmax = np.minimum(cmax, refs.bmax[both])
+                bad = ~(cmin <= cmax).all(axis=1)
+                if bad.any():
+                    cmin[bad] = refs.bmin[both[bad]]
+                    cmax[bad] = refs.bmax[both[bad]]
+                    cmin[bad, axis] = np.maximum(cmin[bad, axis], lo)
+                    cmax[bad, axis] = np.minimum(cmax[bad, axis], hi)
+                side.bmin[rows] = cmin
+                side.bmax[rows] = cmax
+        return cost, left, right, int(both.size)
+
+    def _split2(self, refs: _Refs):
+        """One binary split: object SAH, upgraded to a spatial split when
+        the object children overlap enough and it's cheaper (SBVH)."""
+        obj = self._binary_split(refs)
+        if obj is None:
+            return None
+        cost_o, left, right = obj
+        if self.spatial_splits and self.ref_budget > 0 and len(left) and len(right):
+            omin = np.maximum(left.bmin.min(axis=0), right.bmin.min(axis=0))
+            omax = np.minimum(left.bmax.max(axis=0), right.bmax.max(axis=0))
+            if (omin <= omax).all() and (
+                _surface_area(omin, omax) > _SBVH_ALPHA * self.root_sa
+            ):
+                sp = self._spatial_split(refs)
+                if sp is not None:
+                    cost_s, sl, sr, n_dup = sp
+                    if (
+                        cost_s < cost_o
+                        and n_dup <= self.ref_budget
+                        and len(sl) < len(refs)
+                        and len(sr) < len(refs)
+                    ):
+                        self.ref_budget -= n_dup
+                        return sl, sr
+        return left, right
+
+    def _split8(self, refs: _Refs) -> list:
         """Partition into 2..8 child groups."""
-        groups = [idx]
+        groups = [refs]
         unsplittable: set = set()
         while len(groups) < L.INNER_NODE_CHILDREN:
             # Mandatory: groups over the leaf limit. Otherwise, prefer the
@@ -254,8 +456,8 @@ class _Builder:
             for gi, g in enumerate(groups):
                 if gi in unsplittable or len(g) <= L.LEAF_NODE_PACKET_SIZE:
                     continue
-                bmin = self.tri_min[g].min(axis=0)
-                bmax = self.tri_max[g].max(axis=0)
+                bmin = g.bmin.min(axis=0)
+                bmax = g.bmax.max(axis=0)
                 pri = _surface_area(bmin, bmax) * len(g)
                 if len(g) > self.leaf_max:
                     pri += np.inf
@@ -263,7 +465,7 @@ class _Builder:
                     cand, cand_priority = gi, pri
             if cand is None:
                 break
-            split = self._binary_split(groups[cand])
+            split = self._split2(groups[cand])
             if split is None:
                 unsplittable.add(cand)
                 continue
@@ -274,25 +476,32 @@ class _Builder:
         if len(groups) == 1:
             # All centroids coincide but the group exceeds the leaf limit:
             # round-robin into 8 (terminates since each part shrinks 8x).
-            groups = [idx[k :: L.INNER_NODE_CHILDREN] for k in range(L.INNER_NODE_CHILDREN)]
+            groups = [
+                _Refs(
+                    refs.ids[k :: L.INNER_NODE_CHILDREN],
+                    refs.bmin[k :: L.INNER_NODE_CHILDREN],
+                    refs.bmax[k :: L.INNER_NODE_CHILDREN],
+                )
+                for k in range(L.INNER_NODE_CHILDREN)
+            ]
             groups = [g for g in groups if len(g)]
         return groups
 
     # -- nodes ---------------------------------------------------------------
 
-    def build_recursive(self, idx: np.ndarray, depth: int) -> int:
-        if len(idx) <= self.leaf_max:
-            return self.build_leaf(idx, depth)
+    def build_recursive(self, refs: _Refs, depth: int) -> int:
+        if len(refs) <= self.leaf_max:
+            return self.build_leaf(refs, depth)
 
-        groups = self._split8(idx)
+        groups = self._split8(refs)
         node_id = len(self.node_links)
         self.node_box_min.append(np.zeros((8, 3), np.float32))
         self.node_box_max.append(np.zeros((8, 3), np.float32))
         self.node_links.append(np.full(8, L.NULL_LINK, np.int32))
 
         for i, g in enumerate(groups):
-            self.node_box_min[node_id][i] = self.tri_min[g].min(axis=0)
-            self.node_box_max[node_id][i] = self.tri_max[g].max(axis=0)
+            self.node_box_min[node_id][i] = g.bmin.min(axis=0)
+            self.node_box_max[node_id][i] = g.bmax.max(axis=0)
             link = self.build_recursive(g, depth + 1)
             self.node_links[node_id][i] = link
 
@@ -304,25 +513,48 @@ def build_bvh(
     mesh: MeshData,
     materials: np.ndarray | None = None,
     leaf_max: int = L.LEAF_NODE_MAX_TRIANGLES,
+    spatial_splits: bool = False,
 ) -> BuildResult:
     """Build the BVH over a mesh. ``materials`` is optional per-triangle
     int32 material ids (defaults to 0, matching ``building.rs:201``);
-    ``leaf_max`` tunes the leaf size (<= 56)."""
+    ``leaf_max`` tunes the leaf size (<= 56). ``spatial_splits=True``
+    enables SBVH reference splitting: large triangles straddling a split
+    plane are clipped into both children (bounded duplication), shrinking
+    child-box overlap — fewer node visits for incoherent rays at identical
+    hit results (duplicated references are the same world-space triangle,
+    so closest-hit/anyhit outcomes are unchanged).
+
+    Measured (tools/sweep_sbvh.py, 249k-tri atrium, real bounce-k PT
+    wavefronts on one v5e): +8% refs/VMEM, primary packets 17% faster,
+    deep bounces only ~3% faster — the deep-bounce cost is the union of
+    wide *direction* spreads per packet, which tighter leaf boxes barely
+    dent — at ~600x the build time (pure-numpy clipping). Off by default;
+    worth it only for reused scenes dominated by coherent rays. Spatially
+    split trees cannot use the quantized layout (leaf frames no longer
+    contain their full triangles; build_quantized_scene rejects them) and
+    dedupe their light table (materials.build_light_table)."""
     T = mesh.triangle_count
     if materials is None:
         materials = np.zeros(T, np.int32)
     materials = np.asarray(materials, np.int32)
     assert materials.shape == (T,)
 
-    import sys
-
-    builder = _Builder(mesh, materials, leaf_max=leaf_max)
+    builder = _Builder(
+        mesh, materials, leaf_max=leaf_max, spatial_splits=spatial_splits
+    )
     if T:
         used = mesh.positions[np.unique(mesh.triangles)]
         bbox_min = used.min(axis=0).astype(np.float32)
         bbox_max = used.max(axis=0).astype(np.float32)
         sys.setrecursionlimit(max(sys.getrecursionlimit(), 10000))
-        root = builder.build_recursive(np.arange(T, dtype=np.int64), depth=0)
+        root = builder.build_recursive(
+            _Refs(
+                np.arange(T, dtype=np.int64),
+                builder.tri_min.copy(),
+                builder.tri_max.copy(),
+            ),
+            depth=0,
+        )
     else:
         bbox_min = np.zeros(3, np.float32)
         bbox_max = np.zeros(3, np.float32)

@@ -328,6 +328,18 @@ def build_quantized_scene(arrays) -> QuantizedSceneArrays:
     safe = np.where(size > 0, size, 1.0)
     verts = tp.reshape(M, 24, 3)
     frac = (verts.astype(np.float64) - lb_min) / safe
+    # Round-out frames always contain their leaf's vertices, so any real
+    # out-of-frame vertex means the tree's leaf boxes don't cover the full
+    # triangles — the SBVH builder's clipped references do exactly that,
+    # and clamping them here would silently corrupt geometry. Fail loudly.
+    real = tp.any(axis=(2, 3)).repeat(3, axis=1).reshape(M, 24)[..., None]
+    if bool(((frac < -1e-4) | (frac > 1.0 + 1e-4))[real & (size > 0)].any()):
+        raise ValueError(
+            "leaf vertices extend outside their quantization frame; scenes "
+            "built with spatial splits (build_bvh(spatial_splits=True)) "
+            "clip leaf boxes tighter than their triangles and cannot use "
+            "the quantized layout — rebuild without spatial splits"
+        )
     qv = np.clip(np.rint(frac * 65535.0), 0, 65535).astype(np.int64)  # (M, 24, 3)
     qv = qv.reshape(M, 8, 9)  # lane-major: 9 coords per lane
 

@@ -96,8 +96,23 @@ def build_light_table(tri_packets, tri_material, materials: MaterialTable):
     idx = np.nonzero(is_light)[0]
     if idx.size == 0:
         return None
-    emission = np.asarray(materials.emission, np.float64)[mat[idx]]
-    area = area2[idx] * 0.5
+    # A spatially-split BVH (build_bvh(spatial_splits=True)) references one
+    # triangle from several leaves, so identical emissive lanes can appear
+    # more than once in the packed array. Each physical emitter must be ONE
+    # light (else its sampling density doubles while hit_light_pdf reports
+    # a single copy's pdf — biased MIS). Dedupe by exact vertex identity,
+    # keeping first-occurrence order, and map every duplicate lane to the
+    # shared light id.
+    key9 = tp[idx].reshape(idx.size, 9)
+    _, first, inv = np.unique(key9, axis=0, return_index=True, return_inverse=True)
+    order = np.argsort(first)  # unique emitters in first-appearance order
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.size)
+    keep = idx[first[order]]  # one representative lane per emitter
+    light_of_lane = rank[inv].astype(np.int32)
+
+    emission = np.asarray(materials.emission, np.float64)[mat[keep]]
+    area = area2[keep] * 0.5
     power = area * emission.mean(axis=-1)
     if power.sum() <= 0.0:
         # Emissive materials with zero radiance: no sampleable lights
@@ -107,12 +122,12 @@ def build_light_table(tri_packets, tri_material, materials: MaterialTable):
     cdf = np.cumsum(pmf)
     cdf[-1] = 1.0
     tri_light = np.full(mat.shape[0], -1, np.int32)
-    tri_light[idx] = np.arange(idx.size, dtype=np.int32)
+    tri_light[idx] = light_of_lane
     return LightTable(
-        v0=jnp.asarray(tp[idx, 0], jnp.float32),
-        e1=jnp.asarray(e1[idx], jnp.float32),
-        e2=jnp.asarray(e2[idx], jnp.float32),
-        normal=jnp.asarray(n[idx] / area2[idx, None], jnp.float32),
+        v0=jnp.asarray(tp[keep, 0], jnp.float32),
+        e1=jnp.asarray(e1[keep], jnp.float32),
+        e2=jnp.asarray(e2[keep], jnp.float32),
+        normal=jnp.asarray(n[keep] / area2[keep, None], jnp.float32),
         area=jnp.asarray(area, jnp.float32),
         emission=jnp.asarray(emission, jnp.float32),
         pmf=jnp.asarray(pmf, jnp.float32),
@@ -124,10 +139,11 @@ def build_light_table(tri_packets, tri_material, materials: MaterialTable):
 def sample_lights(lights: LightTable, key, x):
     """Sample one light point per shading point ``x`` ``(N, 3)``.
 
-    Returns ``(y, wi, pdf_solid, emission, cos_y)``: the light point, the
-    unit direction towards it, the solid-angle pdf of having sampled that
-    direction (selection pmf x area-to-solid-angle), the light's radiance,
-    and the (two-sided) cosine at the light."""
+    Returns ``(y, wi, pdf_solid, emission, cos_y, li)``: the light point,
+    the unit direction towards it, the solid-angle pdf of having sampled
+    that direction (selection pmf x area-to-solid-angle), the light's
+    radiance, the (two-sided) cosine at the light, and the sampled light's
+    index (useful as an occlusion-batch sort key)."""
     ks, kt = jax.random.split(key)
     n = x.shape[0]
     u = jax.random.uniform(ks, (n,))
@@ -152,7 +168,7 @@ def sample_lights(lights: LightTable, key, x):
     wi = seg / dist[:, None]
     cos_y = jnp.abs(jnp.sum(wi * ln, axis=-1))
     pdf_solid = pmf / area * dist2 / jnp.maximum(cos_y, 1e-8)
-    return y, wi, pdf_solid, em, cos_y
+    return y, wi, pdf_solid, em, cos_y, li
 
 
 def hit_light_pdf(lights: LightTable, tri, direction, t):

@@ -264,7 +264,7 @@ class TestNee:
         assert (np.sort(tl[tl >= 0]) == np.arange(2)).all()
         # Sampled points lie on the panel plane, inside its extent.
         x = jnp.asarray(np.tile([0.0, 0.0, 0.0], (64, 1)), jnp.float32)
-        y, wi, pdf, em, cos_y = sample_lights(lights, jax.random.key(0), x)
+        y, wi, pdf, em, cos_y, _li = sample_lights(lights, jax.random.key(0), x)
         y = np.asarray(y)
         np.testing.assert_allclose(y[:, 1], 8.0, atol=1e-5)
         assert (np.abs(y[:, [0, 2]]) <= 10.0 + 1e-4).all()
@@ -558,7 +558,7 @@ def test_mis_pdfs_are_consistent():
         np.random.default_rng(3).uniform(-4, 4, (64, 3)).astype(np.float32)
         * [1, 0, 1]
     )
-    y, wi, pdf_nee, em, cos_y = sample_lights(lights, jax.random.key(2), x)
+    y, wi, pdf_nee, em, cos_y, _li = sample_lights(lights, jax.random.key(2), x)
     dist = jnp.sqrt(jnp.sum((y - x) ** 2, axis=-1))
     # Identify the light triangle each sampled point belongs to via its
     # padded-global id. tri_light maps global -> light; invert it.
