@@ -1108,6 +1108,22 @@ def trace_packets_pallas_q(
 #   19.2 -> 25.3 s — rows subdivide an already-passed leaf box too
 #   coarsely (count <= 3), so the skip rate never pays for the per-row
 #   slab + cond. Reverted.
+# * SBVH spatial splits (build_bvh(spatial_splits=True),
+#   tools/sweep_sbvh.py): deep bounces ~3% faster at +8% refs/VMEM and
+#   ~600x build time — tighter leaf boxes barely dent the packet's
+#   direction-spread union. Kept opt-in for coherent-ray workloads.
+# * seeded traversal (seed= on trace_packets_pallas_pt,
+#   tools/sweep_pt14.py): pre-loading every lane's best-hit from K
+#   rep-rays' leaf rows reduces visits ~0.1% at ANY coverage (the seeds
+#   duplicate what near-first ordering finds in the first few pops), and
+#   even ORACLE seeds (the true closest hits) only cut visits 17-20% /
+#   time 20-27% (bounce-1..4: 919->732, 891->716, 837->681, 767->631 ms).
+#   That oracle ceiling is the sharpest evidence that deep-bounce
+#   throughput is union-bound: a 2048-lane packet must visit the union
+#   of its lanes' MINIMAL traversals, and that union is already ~80% of
+#   what the kernel visits today. Remaining wins must trace fewer rays
+#   (roulette, compaction) — not traverse smarter. The seed= hook stays:
+#   it is exact (tested) and the right primitive for future anyhit reuse.
 
 
 class PTScene(NamedTuple):
@@ -1172,19 +1188,23 @@ def _traverse_kernel_pt(
     node_links_ref,  # VMEM (N, 8) i32
     tri_ref,  # VMEM (M, 80) f32
     rays_ref,  # VMEM (1, 9, S, 128) f32
-    t_ref,  # out (1, S, 128) f32
-    tri_out_ref,  # out (1, S, 128) i32
-    u_ref,  # out (1, S, 128) f32
-    v_ref,  # out (1, S, 128) f32
-    diag_ref,  # out (1, 1, LANES) i32: lane 0 ovf, 1 visits, 2 leaf tests
-    stack_ref,  # SMEM scratch (S,) i32 — links only
-    *,
+    *rest,  # [seed_t, seed_tri, seed_u, seed_v when seeded] then outputs:
+    #   t_ref (1, S, 128) f32, tri_out_ref (1, S, 128) i32,
+    #   u_ref / v_ref (1, S, 128) f32,
+    #   diag_ref (1, 1, LANES) i32 (lane 0 ovf, 1 visits, 2 leaf tests),
+    #   stack_ref SMEM scratch (S,) i32 — links only
     t_max: float,
     stack_size: int,
     sort_children: bool = True,
     pop2: bool = False,
     anyhit: bool = False,
+    seeded: bool = False,
 ):
+    if seeded:
+        (seed_t_ref, seed_tri_ref, seed_u_ref, seed_v_ref,
+         t_ref, tri_out_ref, u_ref, v_ref, diag_ref, stack_ref) = rest
+    else:
+        t_ref, tri_out_ref, u_ref, v_ref, diag_ref, stack_ref = rest
     S, LANES = rays_ref.shape[2], rays_ref.shape[3]
     ox = rays_ref[0, 0]
     oy = rays_ref[0, 1]
@@ -1439,14 +1459,26 @@ def _traverse_kernel_pt(
             (sp, ovf, ivis, ltst, best_t, best_tri, bu, bv),
         )
 
-    best_t0 = jnp.full((S, LANES), t_max, jnp.float32)
-    best_tri0 = jnp.full((S, LANES), -1, jnp.int32)
     zeros = jnp.zeros((S, LANES), jnp.float32)
+    if seeded:
+        # Each lane starts from a caller-provided TRUE intersection of its
+        # own ray (or a miss: t >= t_max, tri = -1). The closest hit is
+        # unique, so the result equals an unseeded trace (up to tie order
+        # at exactly-equal t) — but every lane prunes from step one
+        # instead of only after near-first ordering finds its first hit.
+        best_t0 = jnp.minimum(seed_t_ref[0], t_max)
+        best_tri0 = seed_tri_ref[0]
+        bu0 = seed_u_ref[0]
+        bv0 = seed_v_ref[0]
+    else:
+        best_t0 = jnp.full((S, LANES), t_max, jnp.float32)
+        best_tri0 = jnp.full((S, LANES), -1, jnp.int32)
+        bu0 = bv0 = zeros
     sp0 = jnp.where((root == _NULL) | ~live, 0, 1).astype(jnp.int32)
     _, ovf, ivis, ltst, best_t, best_tri, bu, bv = jax.lax.while_loop(
         cond,
         body2 if pop2 else body,
-        (sp0, jnp.int32(0), jnp.int32(0), jnp.int32(0), best_t0, best_tri0, zeros, zeros),
+        (sp0, jnp.int32(0), jnp.int32(0), jnp.int32(0), best_t0, best_tri0, bu0, bv0),
     )
     t_ref[0] = best_t
     tri_out_ref[0] = best_tri
@@ -1474,6 +1506,7 @@ def trace_packets_pallas_pt(
     pop2: bool = False,
     anyhit: bool = False,
     roots=None,
+    seed=None,
 ):
     """Lean closest-hit trace (see the section comment above). Returns
     :class:`PTHits` with ``(B, P)`` fields; shading is the caller's job.
@@ -1487,7 +1520,14 @@ def trace_packets_pallas_pt(
     makes the packet write miss outputs without traversing. Results for a
     packet are exactly a root-limited traversal: anything outside the
     packet's subtree is invisible to it (the caller owns cross-treelet
-    min-combining)."""
+    min-combining).
+
+    ``seed`` (optional ``(t, tri, u, v)`` of ``(B, P)`` arrays) pre-loads
+    every lane's best-hit record before traversal. Each seed must be a
+    TRUE intersection of its own ray (or a miss: ``t >= t_max``,
+    ``tri = -1``); the trace then returns the same closest hit as an
+    unseeded run (up to tie order at exactly-equal ``t``) while pruning
+    everything beyond the seed from the first slab test."""
     B, _, S, LANES = rays9.shape
     P = S * LANES
     kernel = functools.partial(
@@ -1497,6 +1537,7 @@ def trace_packets_pallas_pt(
         sort_children=sort_children,
         pop2=pop2,
         anyhit=anyhit,
+        seeded=seed is not None,
     )
     if live_packets is None:
         live_packets = B
@@ -1525,7 +1566,18 @@ def trace_packets_pallas_pt(
             pl.BlockSpec(
                 (1, 9, S, LANES), lambda i, r: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
-        ],
+        ]
+        + (
+            [
+                pl.BlockSpec(
+                    (1, S, LANES), lambda i, r: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            * 4
+            if seed is not None
+            else []
+        ),
         out_specs=[
             pl.BlockSpec(
                 (1, S, LANES), lambda i, r: (i, 0, 0), memory_space=pltpu.VMEM
@@ -1560,6 +1612,16 @@ def trace_packets_pallas_pt(
         scene.node_links,
         scene.tri_data,
         rays9,
+        *(
+            (
+                seed[0].reshape(B, S, LANES).astype(jnp.float32),
+                seed[1].reshape(B, S, LANES).astype(jnp.int32),
+                seed[2].reshape(B, S, LANES).astype(jnp.float32),
+                seed[3].reshape(B, S, LANES).astype(jnp.float32),
+            )
+            if seed is not None
+            else ()
+        ),
     )
     return PTHits(
         t=best_t.reshape(B, P),

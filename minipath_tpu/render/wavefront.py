@@ -742,8 +742,10 @@ def _pt_trace(
             # frame, tools/sweep_pt13.py): segments CONVERGE on the lights,
             # so spatial neighbors run nearly parallel while a direction
             # bin collects rays from all over the scene. "light" bins by
-            # the sampled emitter first — every ray in a packet then aims
-            # at the SAME panel.
+            # the sampled emitter first (every ray in a packet then aims
+            # at the SAME panel) — measured 10.47 s, also behind "pos":
+            # with few large emitters the bin splits spatial clusters
+            # without tightening the frustum a packet traverses.
             sh_o_safe = jnp.where(cand[..., None], sh_o, 0.0)
             lo = jnp.min(jnp.where(cand[..., None], sh_o_safe, jnp.inf), axis=0)
             hi = jnp.max(jnp.where(cand[..., None], sh_o_safe, -jnp.inf), axis=0)

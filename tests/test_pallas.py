@@ -251,6 +251,65 @@ def test_pt_kernel_matches_oracle(rng):
     assert np.asarray(tiny.overflow).sum() > 0
 
 
+def test_pt_kernel_seeded_matches_unseeded(rng):
+    """Seeded traversal (pre-loaded TRUE per-lane hits) must return the
+    same closest hits as an unseeded trace while doing no more work —
+    whether seeds are perfect, partial, or all-miss."""
+    import jax.numpy as jnp
+
+    from minipath_tpu.render.pallas_kernels import (
+        prepare_scene_pt,
+        trace_packets_pallas_pt,
+    )
+
+    mesh = make_random_triangles(1000, seed=47)
+    res = build_bvh(mesh)
+    sp = prepare_scene_pt(res.arrays)
+    origin = rng.uniform(-12, 12, (3, 128, 3)).astype(np.float32)
+    direction = rng.normal(size=(3, 128, 3)).astype(np.float32)
+    r9 = rays_to_rays9(make_rays(origin, direction))
+    ss = res.recommended_stack_size
+    base = trace_packets_pallas_pt(sp, r9, stack_size=ss, interpret=True)
+
+    def check(seed):
+        got = trace_packets_pallas_pt(
+            sp, r9, stack_size=ss, interpret=True, seed=seed
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.t), np.asarray(base.t), rtol=1e-6, atol=1e-7
+        )
+        assert (np.asarray(got.tri) == np.asarray(base.tri)).all()
+        return got
+
+    # Perfect seeds: identical result, no more traversal work and strictly
+    # fewer leaf tests (the scene is shallow, so inner visits may tie).
+    got = check((base.t, base.tri, base.u, base.v))
+    assert (
+        np.asarray(got.inner_visits).sum()
+        <= np.asarray(base.inner_visits).sum()
+    )
+    assert np.asarray(got.leaf_tests).sum() < np.asarray(base.leaf_tests).sum()
+    # Partial seeds (every other lane a miss) stay exact.
+    t = np.asarray(base.t).copy()
+    tri = np.asarray(base.tri).copy()
+    u = np.asarray(base.u).copy()
+    v = np.asarray(base.v).copy()
+    t[:, 1::2], tri[:, 1::2], u[:, 1::2], v[:, 1::2] = np.inf, -1, 0.0, 0.0
+    check(tuple(map(jnp.asarray, (t, tri, u, v))))
+    # All-miss seeds degenerate to the unseeded trace, same work.
+    none = (
+        jnp.full_like(base.t, jnp.inf),
+        jnp.full_like(base.tri, -1),
+        jnp.zeros_like(base.u),
+        jnp.zeros_like(base.v),
+    )
+    got = check(none)
+    assert (
+        np.asarray(got.inner_visits).sum()
+        == np.asarray(base.inner_visits).sum()
+    )
+
+
 def test_pt_tracer_matches_full_tracer(rng):
     """make_pt_tracer's gathered+interpolated normals and materials must
     match the full kernel's in-kernel shading on the same rays."""

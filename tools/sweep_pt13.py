@@ -42,7 +42,7 @@ def main():
     sampler = cam.build_sampler((W, H))
     key = jax.random.key(0)
 
-    for order in ("dir", "pos"):
+    for order in sys.argv[1:] or ("dir", "pos"):
         def frame(k):
             img = render_frame_pt(
                 tracer, tstate, table, sampler, k,
