@@ -64,7 +64,10 @@ def cpu_proxy_seconds() -> float:
     for line in out.stdout.splitlines():
         if line.startswith("CPU_PROXY_SECONDS"):
             return float(line.split()[1])
-    raise RuntimeError(f"cpu proxy failed: {out.stderr[-2000:]}")
+    raise RuntimeError(
+        f"cpu proxy failed: rc={out.returncode}"
+        f" stdout={out.stdout[-500:]!r} stderr={out.stderr[-1500:]!r}"
+    )
 
 
 def main():
@@ -137,7 +140,25 @@ def main():
             )
             print(f"cpu proxy: {cpu_s:.1f}s -> ratio {out['tpu_vs_cpu_proxy']}x")
         except Exception as e:
-            out["cpu_proxy_error"] = repr(e)[:500]
+            # Transient child failures (OOM under a concurrent TPU run)
+            # should not drop the ratio from the artifact: reuse the last
+            # recorded proxy time — the CPU workload doesn't change.
+            prev = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "BENCH_teapot.json",
+            )
+            try:
+                with open(prev) as f:
+                    cpu_s = float(json.load(f)["cpu_proxy_s"])
+                out["cpu_proxy_s"] = cpu_s
+                out["tpu_vs_cpu_proxy"] = round(cpu_s / float(arr.mean()), 1)
+                out["cpu_proxy_note"] = (
+                    "proxy subprocess failed this run; cpu_proxy_s reused "
+                    "from the previous artifact (same workload)"
+                )
+                print(f"cpu proxy reused: {cpu_s:.1f}s", file=sys.stderr)
+            except Exception:
+                out["cpu_proxy_error"] = repr(e)[:500]
             print(f"cpu proxy failed: {e!r}", file=sys.stderr)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "BENCH_teapot.json"), "w") as f:
