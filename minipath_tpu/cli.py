@@ -52,6 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=1, help="shard the render across N devices (jax.sharding.Mesh); 0 = all available")
     p.add_argument("--no-compaction", action="store_true", help="path tracer: disable wavefront stream compaction (megakernel mode)")
     p.add_argument("--nee", action="store_true", help="path tracer: next-event estimation (explicit light sampling with MIS; needs emissive materials, e.g. --scene atrium)")
+    p.add_argument("--no-shadow-rr", action="store_true", help="path tracer: disable shadow-ray Russian roulette (trade NEE speed back for slightly lower variance)")
     return p
 
 
@@ -244,6 +245,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             compaction=not args.no_compaction,
             lights=lights,
             shadow_tracer=shadow_tracer,
+            shadow_rr=not args.no_shadow_rr,
         )
         img = renderer(
             tracer_state,
@@ -269,6 +271,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             compaction=not args.no_compaction,
             lights=lights,
             shadow_tracer=shadow_tracer,
+            shadow_rr=not args.no_shadow_rr,
         )
     a = np.array(img, copy=True)
     elapsed = time.time() - t0

@@ -495,15 +495,26 @@ def _direction_bin(d: jnp.ndarray) -> jnp.ndarray:
     minor components. Finer than octants: a bin spans a ~28-degree cone
     instead of 90 degrees, which is what bounds the BVH frustum a sorted
     packet traverses (measured 3.3 vs 2.2 Mrays/s on bounce-1 rays vs
-    octant binning, tools/sweep_pt2.py)."""
-    ax = jnp.argmax(jnp.abs(d), axis=-1)
-    major = jnp.take_along_axis(d, ax[:, None], -1)[:, 0]
-    face = ax.astype(jnp.int32) * 2 + (major > 0)
+    octant binning, tools/sweep_pt2.py).
+
+    Branchless selects, no gathers: the take_along_axis formulation cost
+    ~183 ms on the 4.15M-ray wavefront (three per-row gathers) — the
+    single biggest piece of the per-bounce shadow-sort glue; this one is
+    ~10 ms (tools/sweep_pt15.py anatomy)."""
+    x, y, z = d[:, 0], d[:, 1], d[:, 2]
+    axv, ayv, azv = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    ax0 = (axv >= ayv) & (axv >= azv)
+    ax1 = (~ax0) & (ayv >= azv)
+    major = jnp.where(ax0, x, jnp.where(ax1, y, z))
+    m1 = jnp.where(ax0, y, jnp.where(ax1, z, x))
+    m2 = jnp.where(ax0, z, jnp.where(ax1, x, y))
+    face = (
+        jnp.where(ax0, 0, jnp.where(ax1, 2, 4)).astype(jnp.int32)
+        + (major > 0)
+    )
     inv_major = 1.0 / jnp.maximum(jnp.abs(major), 1e-9)
-    m1 = jnp.take_along_axis(d, ((ax + 1) % 3)[:, None], -1)[:, 0] * inv_major
-    m2 = jnp.take_along_axis(d, ((ax + 2) % 3)[:, None], -1)[:, 0] * inv_major
-    q1 = jnp.clip(((m1 + 1.0) * 2.0).astype(jnp.int32), 0, 3)
-    q2 = jnp.clip(((m2 + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+    q1 = jnp.clip(((m1 * inv_major + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+    q2 = jnp.clip(((m2 * inv_major + 1.0) * 2.0).astype(jnp.int32), 0, 3)
     return (face << 4) | (q1 << 2) | q2  # 0..95
 
 
@@ -583,6 +594,7 @@ def _compact(state: _PathState, fine_direction: bool = True) -> _PathState:
         "compaction",
         "shadow_tracer",
         "shadow_sort",
+        "shadow_rr",
     ),
 )
 def _pt_chunk(
@@ -602,6 +614,7 @@ def _pt_chunk(
     lights=None,
     shadow_tracer=None,
     shadow_sort: str = "pos",
+    shadow_rr: bool = True,
 ):
     """Trace ``samples`` spp of camera paths; returns ``(B0, bp, 3)`` RGB
     sums per packet-pixel (same layout as the parity frame renderer)."""
@@ -612,6 +625,7 @@ def _pt_chunk(
         tracer_state, materials, env, rays9, key,
         tracer=tracer, samples=samples, bounces=bounces, compaction=compaction,
         lights=lights, shadow_tracer=shadow_tracer, shadow_sort=shadow_sort,
+        shadow_rr=shadow_rr,
     )
 
 
@@ -629,6 +643,7 @@ def _pt_trace(
     lights=None,
     shadow_tracer=None,
     shadow_sort: str = "pos",
+    shadow_rr: bool = True,
 ):
     """The bounce loop for an arbitrary camera-ray batch ``rays9``
     (whole frame or one device's shard). Returns ``(B0, bp, 3)`` sums.
@@ -728,6 +743,24 @@ def _pt_trace(
             )
             cos_x = jnp.sum(wi * nf, axis=-1)
             cand = cand & (cos_x > 0.0) & (cos_y > 1e-6) & (pdf_nee > 0.0)
+            if shadow_rr:
+                # Shadow-ray Russian roulette: prune low-throughput
+                # candidates BEFORE the occlusion trace and reweight the
+                # survivors by 1/q — unbiased (E[1{u<q}/q] = 1), and the
+                # trace cost tracks the candidate count because candidates
+                # are compacted to a packet prefix below. Measured on the
+                # atrium wavefront (tools/sweep_pt15.py): candidates drop
+                # to 75/57/45/35% of the full set at bounces 1-4 with
+                # trace time following (e.g. 327 -> 168 ms at bounce 4);
+                # bounce 0 is untouched (throughput is still 1).
+                q_rr = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+                u_rr = jax.random.uniform(
+                    jax.random.fold_in(lkey, 3), q_rr.shape
+                )
+                cand = cand & (u_rr < q_rr)
+                rr_w = 1.0 / q_rr
+            else:
+                rr_w = jnp.ones_like(cos_x)
             # Pull the light-side endpoint back by an ABSOLUTE epsilon
             # (matching the surface-side _EPS offset) so the occlusion
             # blind zone near the light doesn't scale with its distance.
@@ -759,12 +792,20 @@ def _pt_trace(
                 skey = (_morton16(cell) << 7) | _direction_bin(wi)
             skey = (((~cand).astype(jnp.int32)) << 27) | skey
             order = jnp.argsort(skey)
-            cand_s = cand[order]
+            n_cand = jnp.sum(cand.astype(jnp.int32))
+            # The ~cand top bit puts every candidate strictly before every
+            # non-candidate, so the sorted candidate mask is just the
+            # length-n_cand prefix — no gather needed. Origin and segment
+            # ride ONE packed (N, 6) gather instead of two (N, 3) ones;
+            # together with the branchless _direction_bin this takes the
+            # per-bounce sort glue from ~490 ms to ~130 ms on the 4.15M-ray
+            # atrium wavefront (tools/sweep_pt15.py anatomy).
+            cand_s = jnp.arange(skey.shape[0], dtype=jnp.int32) < n_cand
+            packed = jnp.concatenate([sh_o, seg], axis=-1)[order]
             # Park the (now-suffix) non-candidate lanes far outside the
             # scene so partial boundary packets miss at the root.
-            sh_o_eff = jnp.where(cand_s[..., None], sh_o[order], 1e9)
-            seg_eff = jnp.where(cand_s[..., None], seg[order], 1.0)
-            n_cand = jnp.sum(cand.astype(jnp.int32))
+            sh_o_eff = jnp.where(cand_s[..., None], packed[:, 0:3], 1e9)
+            seg_eff = jnp.where(cand_s[..., None], packed[:, 3:6], 1.0)
             occ_s = shadow_tracer(tracer_state, sh_o_eff, seg_eff, n_cand)
             occluded = jnp.zeros_like(occ_s).at[order].set(occ_s)
             albedo = materials.albedo[kh.material]
@@ -786,7 +827,8 @@ def _pt_trace(
                 pdf_nee * pdf_nee + pdf_b_L * pdf_b_L
             )
             contrib = (
-                state.throughput * fcos * em_l * (w_nee / pdf_nee)[..., None]
+                state.throughput * fcos * em_l
+                * (w_nee / pdf_nee * rr_w)[..., None]
             )
             radiance = radiance + jnp.where(
                 (cand & ~occluded)[..., None], contrib, 0.0
@@ -847,6 +889,7 @@ def make_pt_renderer_sharded(
     axis: str = "d",
     lights: LightTable | None = None,
     shadow_tracer=None,
+    shadow_rr: bool = True,
 ):
     """Multi-chip wavefront path tracer over a 1-D device mesh.
 
@@ -885,6 +928,7 @@ def make_pt_renderer_sharded(
             tracer=tracer, samples=samples, bounces=bounces,
             compaction=compaction,
             lights=lights_arg, shadow_tracer=shadow_tracer,
+            shadow_rr=shadow_rr,
         )
 
     cache = {}
@@ -946,6 +990,7 @@ def render_frame_pt(
     lights: LightTable | None = None,
     shadow_tracer=None,
     shadow_sort: str = "pos",
+    shadow_rr: bool = True,
 ) -> jnp.ndarray:
     """Path-traced frame: mean RGB + alpha=1, shape ``(H, W, 4)``.
 
@@ -955,6 +1000,9 @@ def render_frame_pt(
     (:func:`minipath_tpu.scene.materials.build_light_table`) together with a
     ``shadow_tracer`` (:func:`make_pt_shadow_tracer` /
     :func:`make_xla_shadow_tracer`) to enable next-event estimation.
+    ``shadow_rr`` (default on) Russian-roulettes low-throughput shadow
+    candidates before the occlusion trace — still unbiased, and the
+    deep-bounce anyhit pass gets ~2x cheaper for a small variance cost.
     """
     if env is None:
         env = Environment.sky()
@@ -983,6 +1031,7 @@ def render_frame_pt(
             lights=lights,
             shadow_tracer=shadow_tracer,
             shadow_sort=shadow_sort,
+            shadow_rr=shadow_rr,
         )
         acc = part if acc is None else acc + part
         done += n
