@@ -544,8 +544,8 @@ def _compact(state: _PathState, fine_direction: bool = True) -> _PathState:
     (3.4 vs 2.2 Mrays/s); deeper bounces are isotropic and coarse octants
     with better spatial locality win (1.7 vs 0.9 Mrays/s for fine bins).
 
-    State is re-gathered through ONE packed (N, 12) matrix + two small
-    gathers; inv_direction is recomputed (cheaper than gathering it)."""
+    State rides through one variadic lax.sort as payload operands;
+    inv_direction is recomputed (cheaper than carrying it)."""
     o = state.origin
     lo = jnp.min(o, axis=0)
     hi = jnp.max(o, axis=0)
@@ -563,22 +563,31 @@ def _compact(state: _PathState, fine_direction: bool = True) -> _PathState:
         )
     dead = (~state.active).astype(jnp.int32)
     key = (dead << 19) | (dbin << 12) | cell_id
-    order = jnp.argsort(key)
-    cols = [state.origin, state.direction, state.throughput, state.radiance]
+    # Variadic lax.sort: the payload rides through the sorting network as
+    # extra operands instead of argsort + per-row gathers — measured ~2.7x
+    # on the TPU for this shape (228 -> 84 ms per compaction on the
+    # 4.15M-ray atrium wavefront; tools/sweep_pt16.py). The dead bit tops
+    # the key, so live rays form a prefix and `active` needs no carrying.
+    ops = [key]
+    for col in (state.origin, state.direction, state.throughput,
+                state.radiance):
+        ops.extend(col[:, i] for i in range(3))
     if state.prev_pdf is not None:
-        cols.append(state.prev_pdf[:, None])
-    packed = jnp.concatenate(cols, axis=-1)[order]
-    d = packed[:, 3:6]
+        ops.append(state.prev_pdf)
+    ops.append(state.pixel)
+    sorted_ops = jax.lax.sort(ops, dimension=0, is_stable=False, num_keys=1)
+    d = jnp.stack(sorted_ops[4:7], axis=-1)
     inv = jnp.where(d == 0.0, jnp.inf, 1.0 / d)
+    n_live = jnp.sum(state.active.astype(jnp.int32))
     return _PathState(
-        origin=packed[:, 0:3],
+        origin=jnp.stack(sorted_ops[1:4], axis=-1),
         direction=d,
         inv_direction=inv,
-        throughput=packed[:, 6:9],
-        radiance=packed[:, 9:12],
-        pixel=state.pixel[order],
-        active=state.active[order],
-        prev_pdf=packed[:, 12] if state.prev_pdf is not None else None,
+        throughput=jnp.stack(sorted_ops[7:10], axis=-1),
+        radiance=jnp.stack(sorted_ops[10:13], axis=-1),
+        pixel=sorted_ops[-1],
+        active=jnp.arange(key.shape[0], dtype=jnp.int32) < n_live,
+        prev_pdf=sorted_ops[13] if state.prev_pdf is not None else None,
     )
 
 
@@ -791,21 +800,31 @@ def _pt_trace(
             else:  # "pos": position-major for light-converging segments
                 skey = (_morton16(cell) << 7) | _direction_bin(wi)
             skey = (((~cand).astype(jnp.int32)) << 27) | skey
-            order = jnp.argsort(skey)
             n_cand = jnp.sum(cand.astype(jnp.int32))
-            # The ~cand top bit puts every candidate strictly before every
-            # non-candidate, so the sorted candidate mask is just the
-            # length-n_cand prefix — no gather needed. Origin and segment
-            # ride ONE packed (N, 6) gather instead of two (N, 3) ones;
-            # together with the branchless _direction_bin this takes the
-            # per-bounce sort glue from ~490 ms to ~130 ms on the 4.15M-ray
-            # atrium wavefront (tools/sweep_pt15.py anatomy).
-            cand_s = jnp.arange(skey.shape[0], dtype=jnp.int32) < n_cand
-            packed = jnp.concatenate([sh_o, seg], axis=-1)[order]
+            # Variadic lax.sort carries the payload THROUGH the sorting
+            # network instead of argsort + per-row gathers — measured ~2x
+            # on the TPU for this shape (100 -> 57 ms on the 4.15M-ray
+            # atrium wavefront; tools/sweep_pt16.py). The iota operand
+            # recovers `order` for the inverse scatter. The ~cand top bit
+            # puts every candidate strictly before every non-candidate, so
+            # the sorted candidate mask is just the length-n_cand prefix.
+            iota = jnp.arange(skey.shape[0], dtype=jnp.int32)
+            sorted_ops = jax.lax.sort(
+                [skey, iota,
+                 sh_o[:, 0], sh_o[:, 1], sh_o[:, 2],
+                 seg[:, 0], seg[:, 1], seg[:, 2]],
+                dimension=0, is_stable=False, num_keys=1,
+            )
+            order = sorted_ops[1]
+            cand_s = iota < n_cand
             # Park the (now-suffix) non-candidate lanes far outside the
             # scene so partial boundary packets miss at the root.
-            sh_o_eff = jnp.where(cand_s[..., None], packed[:, 0:3], 1e9)
-            seg_eff = jnp.where(cand_s[..., None], packed[:, 3:6], 1.0)
+            sh_o_eff = jnp.where(
+                cand_s[..., None], jnp.stack(sorted_ops[2:5], axis=-1), 1e9
+            )
+            seg_eff = jnp.where(
+                cand_s[..., None], jnp.stack(sorted_ops[5:8], axis=-1), 1.0
+            )
             occ_s = shadow_tracer(tracer_state, sh_o_eff, seg_eff, n_cand)
             occluded = jnp.zeros_like(occ_s).at[order].set(occ_s)
             albedo = materials.albedo[kh.material]
