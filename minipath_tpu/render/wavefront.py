@@ -40,6 +40,7 @@ from minipath_tpu.scene.materials import (
     LightTable,
     MaterialTable,
     hit_light_pdf,
+    material_rows,
     sample_lights,
 )
 
@@ -130,10 +131,7 @@ def scatter_full(
     exactly ``albedo`` per bounce (the same throughput rule as the
     reference-style fuzz-sphere metal it replaces). ``fuzz <
     GLOSSY_MIN_FUZZ`` stays a perfect mirror (delta, pdf 0)."""
-    kind = materials.kind[mat_id]  # (...)
-    albedo = materials.albedo[mat_id]  # (..., 3)
-    emission = materials.emission[mat_id]
-    param = materials.param[mat_id]  # (...)
+    kind, param, albedo, emission = material_rows(materials, mat_id)
 
     d_dot_n = _dot(direction, normal)  # (..., 1)
     front = d_dot_n < 0.0  # ray hits the front face
@@ -741,8 +739,8 @@ def _pt_trace(
             # frame): the packet count is the same either way, and the
             # 5x-sized concat + argsort + scatter + segment_sum XLA glue
             # costs more than the marginally-tighter packets save.
-            kindv = materials.kind[kh.material]
-            fuzzv = materials.param[kh.material]
+            # Same packed row scatter_full gathered — XLA CSEs the lookup.
+            kindv, fuzzv, albedo, _ = material_rows(materials, kh.material)
             glossy = (kindv == METAL) & (fuzzv >= GLOSSY_MIN_FUZZ)
             cand = (diffuse | glossy) & hit
             lkey = jax.random.fold_in(bkey, 11)
@@ -827,7 +825,6 @@ def _pt_trace(
             )
             occ_s = shadow_tracer(tracer_state, sh_o_eff, seg_eff, n_cand)
             occluded = jnp.zeros_like(occ_s).at[order].set(occ_s)
-            albedo = materials.albedo[kh.material]
             # BSDF value x cos and BSDF pdf toward the light, per lobe:
             # Lambertian f*cos = albedo/pi * cos_x (pdf cos_x/pi); glossy
             # f*cos = albedo * phong_pdf(wi) (the lobe's implied BRDF —

@@ -136,6 +136,33 @@ def build_light_table(tri_packets, tri_material, materials: MaterialTable):
     )
 
 
+def material_rows(materials: MaterialTable, mat_id):
+    """Fetch per-lane material parameters through ONE packed ``(M, 8)``
+    gather instead of four small-table gathers. XLA:TPU lowers each gather
+    to a ~3.4 ns/row dynamic-slice loop, so four separate lookups on a
+    4.15M-ray wavefront cost ~240 ms/bounce; one packed row costs ~45 ms
+    (tools/sweep_pt16.py one-hot/packed probe). ``kind`` rides as f32
+    (values 0..3 are exact) and is cast back.
+
+    Returns ``(kind i32, param, albedo (...,3), emission (...,3))``."""
+    packed = jnp.concatenate(
+        [
+            materials.kind.astype(jnp.float32)[:, None],
+            materials.param[:, None],
+            materials.albedo,
+            materials.emission,
+        ],
+        axis=-1,
+    )
+    row = packed[mat_id]
+    return (
+        row[..., 0].astype(jnp.int32),
+        row[..., 1],
+        row[..., 2:5],
+        row[..., 5:8],
+    )
+
+
 def sample_lights(lights: LightTable, key, x):
     """Sample one light point per shading point ``x`` ``(N, 3)``.
 
@@ -150,13 +177,29 @@ def sample_lights(lights: LightTable, key, x):
     li = jnp.clip(
         jnp.searchsorted(lights.cdf, u, side="left"), 0, lights.cdf.shape[0] - 1
     )
-    v0 = lights.v0[li]
-    e1 = lights.e1[li]
-    e2 = lights.e2[li]
-    ln = lights.normal[li]
-    em = lights.emission[li]
-    pmf = lights.pmf[li]
-    area = lights.area[li]
+    # One packed (L, 17) row gather instead of seven small-table gathers —
+    # measured 723 -> 44 ms on the 4.15M-ray atrium wavefront (each gather
+    # is a ~3.4 ns/row dynamic-slice loop on TPU; tools/sweep_pt16.py).
+    packed = jnp.concatenate(
+        [
+            lights.v0,
+            lights.e1,
+            lights.e2,
+            lights.normal,
+            lights.emission,
+            lights.pmf[:, None],
+            lights.area[:, None],
+        ],
+        axis=-1,
+    )
+    row = packed[li]
+    v0 = row[:, 0:3]
+    e1 = row[:, 3:6]
+    e2 = row[:, 6:9]
+    ln = row[:, 9:12]
+    em = row[:, 12:15]
+    pmf = row[:, 15]
+    area = row[:, 16]
     r = jax.random.uniform(kt, (n, 2))
     s = jnp.sqrt(r[:, 0])
     bu = (1.0 - s)[:, None]
@@ -178,13 +221,13 @@ def hit_light_pdf(lights: LightTable, tri, direction, t):
     li = lights.tri_light[jnp.maximum(tri, 0)]
     valid = (tri >= 0) & (li >= 0)
     lis = jnp.maximum(li, 0)
-    cos_y = jnp.abs(jnp.sum(direction * lights.normal[lis], axis=-1))
-    pdf = (
-        lights.pmf[lis]
-        / lights.area[lis]
-        * (t * t)
-        / jnp.maximum(cos_y, 1e-8)
+    # Packed (L, 5) row: normal, pmf, area in one gather (see sample_lights).
+    packed = jnp.concatenate(
+        [lights.normal, lights.pmf[:, None], lights.area[:, None]], axis=-1
     )
+    row = packed[lis]
+    cos_y = jnp.abs(jnp.sum(direction * row[..., 0:3], axis=-1))
+    pdf = row[..., 3] / row[..., 4] * (t * t) / jnp.maximum(cos_y, 1e-8)
     return jnp.where(valid, pdf, 0.0)
 
 
