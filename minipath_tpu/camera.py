@@ -150,7 +150,7 @@ class CameraSampler(NamedTuple):
     lens_weight: jnp.ndarray  # () focal_length / focus_distance
 
 
-def sample_rays(sampler: CameraSampler, pixel_xy, key) -> Rays:
+def sample_rays(sampler: CameraSampler, pixel_xy, key, strat=None) -> Rays:
     """Sample one camera ray per pixel coordinate.
 
     ``pixel_xy`` is ``(..., 2)`` integer or float pixel coordinates; ``key``
@@ -158,17 +158,32 @@ def sample_rays(sampler: CameraSampler, pixel_xy, key) -> Rays:
     (``camera.rs:176-191``): +-0.5 px box-filter jitter on the film, a
     uniform-disc lens sample scaled by ``lens_radius``, and depth of field via
     ``lens_vector * lens_weight - film_point_offset``.
+
+    ``strat`` is ``None`` (the reference's iid dimensions) or
+    ``(s, pid, spp, salt)`` per-lane sample-index / pixel-id arrays plus
+    static spp and salt, in which case the film jitter and the lens disc
+    sample draw from per-pixel jittered strata
+    (:mod:`minipath_tpu.render.stratify`) — unbiased, lower variance.
     """
+    from minipath_tpu.render.stratify import strat2d
+
     pixel_xy = jnp.asarray(pixel_xy, jnp.float32)
     batch_shape = pixel_xy.shape[:-1]
     k_film, k_lens = jax.random.split(key)
     jitter = jax.random.uniform(
-        k_film, batch_shape + (2,), jnp.float32, minval=-0.5, maxval=0.5
+        k_film, batch_shape + (2,), jnp.float32, minval=0.0, maxval=1.0
     )
-    film_uv = pixel_xy + jitter
+    if strat is not None:
+        s_idx, pid, spp, salt = strat
+        j0, j1 = strat2d(jitter[..., 0], jitter[..., 1], s_idx, pid, spp, salt + 0)
+        jitter = jnp.stack([j0, j1], axis=-1)
+    film_uv = pixel_xy + (jitter - 0.5)
 
     # Uniform sample on the unit disc (polar method).
     u = jax.random.uniform(k_lens, batch_shape + (2,), jnp.float32)
+    if strat is not None:
+        u0, u1 = strat2d(u[..., 0], u[..., 1], s_idx, pid, spp, salt + 1)
+        u = jnp.stack([u0, u1], axis=-1)
     r = jnp.sqrt(u[..., 0])
     theta = 2.0 * jnp.pi * u[..., 1]
     lens_u = r * jnp.cos(theta)

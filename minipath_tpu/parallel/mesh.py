@@ -121,11 +121,18 @@ def gen_rays9_blocks(
     wc: int,
     px_block=(8, 8),
     samples: int = 4,
+    strat_spp: int | None = None,
+    strat_offset=0,
 ):
     """Multi-sample packet rays for ``block_count`` pixel blocks starting at
     ``block_start`` in the frame's row-major block order (``wc`` blocks per
     row). The shard-aware core of :func:`gen_frame_rays9`: a device mesh
     shards the frame by giving each device its own block range.
+
+    ``strat_spp`` (static) enables per-pixel stratified film/lens sampling
+    over the pixel's TOTAL spp; ``strat_offset`` (traced) is this chunk's
+    first global sample index, so stratification spans chunk boundaries
+    when spp exceeds the per-packet sample count.
     """
     from minipath_tpu.render.pallas_kernels import rays_to_rays9
 
@@ -141,11 +148,28 @@ def gen_rays9_blocks(
         axis=-1,
     )  # (block_count, bp, 2)
     pix = jnp.tile(pix, (1, samples, 1))  # (block_count, P, 2) sample-major
-    rays = sample_rays(sampler, pix, key)
+    strat = None
+    if strat_spp is not None:
+        P = samples * bp
+        s_idx = strat_offset + jax.lax.broadcasted_iota(
+            jnp.int32, (block_count, P), 1
+        ) // bp
+        pid = (by * bh + py) * (wc * bw) + (bx * bw + px)  # global pixel id
+        pid = jnp.tile(pid, (1, samples))
+        strat = (s_idx, pid, strat_spp, CAMERA_SALT)
+    rays = sample_rays(sampler, pix, key, strat=strat)
     return rays_to_rays9(rays)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "px_block", "samples"))
+# Dimension-salt base for the camera's film/lens strata — clear of the
+# per-bounce salts the wavefront integrator uses (8 per bounce).
+CAMERA_SALT = 1 << 12
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "px_block", "samples", "strat_spp"),
+)
 def gen_frame_rays9(
     sampler: CameraSampler,
     key,
@@ -154,12 +178,15 @@ def gen_frame_rays9(
     height: int,
     px_block=(8, 8),
     samples: int = 4,
+    strat_spp: int | None = None,
+    strat_offset=0,
 ):
     """Generate the whole frame's multi-sample packet rays in-jit.
 
     Pixel coordinates are computed from iota (no multi-hundred-MB host
     constant arrays), then jittered/lens-sampled and packed to the kernel's
     ``(B, 9, P//128, 128)`` layout. Returns ``(rays9, packet_counts)``.
+    ``strat_spp``/``strat_offset`` as in :func:`gen_rays9_blocks`.
     """
     bh, bw = px_block
     hp, wp = _round_up(height, bh), _round_up(width, bw)
@@ -172,6 +199,8 @@ def gen_frame_rays9(
         wc=wc,
         px_block=px_block,
         samples=samples,
+        strat_spp=strat_spp,
+        strat_offset=strat_offset,
     )
     return rays9, (hc, wc)
 

@@ -31,6 +31,7 @@ from minipath_tpu.render.pallas_kernels import (
     trace_packets_pallas_pt,
     trace_scene,
 )
+from minipath_tpu.render.stratify import strat1d, strat2d
 from minipath_tpu.scene.materials import (
     DIELECTRIC,
     EMISSIVE,
@@ -113,7 +114,7 @@ def _orthobasis(w):
 
 
 def scatter_full(
-    materials: MaterialTable, key, direction, normal, mat_id
+    materials: MaterialTable, key, direction, normal, mat_id, strat=None
 ):
     """:func:`scatter` plus the MIS inputs next-event estimation needs:
     returns ``(new_direction, attenuation, emitted, terminate, pdf,
@@ -130,7 +131,15 @@ def scatter_full(
     ``albedo * phong_pdf / cos_in``, making lobe sampling contribute
     exactly ``albedo`` per bounce (the same throughput rule as the
     reference-style fuzz-sphere metal it replaces). ``fuzz <
-    GLOSSY_MIN_FUZZ`` stays a perfect mirror (delta, pdf 0)."""
+    GLOSSY_MIN_FUZZ`` stays a perfect mirror (delta, pdf 0).
+
+    ``strat`` is ``None`` (iid dimensions, the reference behavior) or
+    ``(s, pid, spp, salt)`` — per-lane sample index / pixel id plus static
+    spp and dimension-salt base — in which case the Lambertian sphere
+    sample, the glossy lobe sample, and the dielectric reflect/refract
+    decision draw from per-pixel jittered strata
+    (:mod:`minipath_tpu.render.stratify`): same marginals, unbiased, lower
+    variance."""
     kind, param, albedo, emission = material_rows(materials, mat_id)
 
     d_dot_n = _dot(direction, normal)  # (..., 1)
@@ -140,8 +149,20 @@ def scatter_full(
     k_lam, k_fuzz, k_refr = jax.random.split(key, 3)
     batch = mat_id.shape
 
-    # Lambertian: cosine-weighted via (nf + unit vector).
-    lam_dir = _normalize(nf + _sample_unit_vector(k_lam, batch))
+    # Lambertian: cosine-weighted via (nf + unit vector). The sphere
+    # sample is drawn through explicit (z, phi) uniforms so stratification
+    # can tile them.
+    k_z, k_phi = jax.random.split(k_lam)
+    u_z = jax.random.uniform(k_z, batch)
+    u_phi = jax.random.uniform(k_phi, batch)
+    if strat is not None:
+        s_idx, pid, spp, salt = strat
+        u_z, u_phi = strat2d(u_z, u_phi, s_idx, pid, spp, salt + 0)
+    z = -1.0 + 2.0 * u_z
+    phi_s = 2.0 * np.pi * u_phi
+    r_s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    unit = jnp.stack([r_s * jnp.cos(phi_s), r_s * jnp.sin(phi_s), z], axis=-1)
+    lam_dir = _normalize(nf + unit)
     # Guard the degenerate case (unit vector ~ -nf).
     lam_bad = jnp.sum(lam_dir * nf, axis=-1, keepdims=True) <= 1e-6
     lam_dir = jnp.where(lam_bad, nf, lam_dir)
@@ -152,6 +173,9 @@ def scatter_full(
     glossy = param >= GLOSSY_MIN_FUZZ
     n_exp = phong_exponent(param)
     u = jax.random.uniform(k_fuzz, batch + (2,))
+    if strat is not None:
+        u0, u1 = strat2d(u[..., 0], u[..., 1], s_idx, pid, spp, salt + 1)
+        u = jnp.stack([u0, u1], axis=-1)
     cos_a = jnp.exp(jnp.log(jnp.maximum(u[..., 0], 1e-12)) / (n_exp + 1.0))
     sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
     phi = 2.0 * np.pi * u[..., 1]
@@ -173,7 +197,10 @@ def scatter_full(
     cannot_refract = eta * sin_theta > 1.0
     r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
     schlick = r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5
-    reflectance_rand = jax.random.uniform(k_refr, batch)[..., None]
+    reflectance_rand = jax.random.uniform(k_refr, batch)
+    if strat is not None:
+        reflectance_rand = strat1d(reflectance_rand, s_idx, pid, spp, salt + 2)
+    reflectance_rand = reflectance_rand[..., None]
     do_reflect = cannot_refract | (schlick > reflectance_rand)
     perp = eta * (direction + cos_theta * nf)
     para = -jnp.sqrt(jnp.abs(1.0 - jnp.sum(perp * perp, axis=-1, keepdims=True))) * nf
@@ -602,6 +629,8 @@ def _compact(state: _PathState, fine_direction: bool = True) -> _PathState:
         "shadow_tracer",
         "shadow_sort",
         "shadow_rr",
+        "rr_start",
+        "strat_spp",
     ),
 )
 def _pt_chunk(
@@ -622,17 +651,22 @@ def _pt_chunk(
     shadow_tracer=None,
     shadow_sort: str = "pos",
     shadow_rr: bool = True,
+    rr_start: int = 3,
+    strat_spp: int | None = None,
+    strat_offset=0,
 ):
     """Trace ``samples`` spp of camera paths; returns ``(B0, bp, 3)`` RGB
     sums per packet-pixel (same layout as the parity frame renderer)."""
     rays9, _ = gen_frame_rays9(
-        sampler, key, width=width, height=height, px_block=px_block, samples=samples
+        sampler, key, width=width, height=height, px_block=px_block,
+        samples=samples, strat_spp=strat_spp, strat_offset=strat_offset,
     )
     return _pt_trace(
         tracer_state, materials, env, rays9, key,
         tracer=tracer, samples=samples, bounces=bounces, compaction=compaction,
         lights=lights, shadow_tracer=shadow_tracer, shadow_sort=shadow_sort,
-        shadow_rr=shadow_rr,
+        shadow_rr=shadow_rr, rr_start=rr_start,
+        strat_spp=strat_spp, strat_offset=strat_offset,
     )
 
 
@@ -651,6 +685,9 @@ def _pt_trace(
     shadow_tracer=None,
     shadow_sort: str = "pos",
     shadow_rr: bool = True,
+    rr_start: int = 3,
+    strat_spp: int | None = None,
+    strat_offset=0,
 ):
     """The bounce loop for an arbitrary camera-ray batch ``rays9``
     (whole frame or one device's shard). Returns ``(B0, bp, 3)`` sums.
@@ -700,10 +737,24 @@ def _pt_trace(
             missed[..., None], state.throughput * env_rad, 0.0
         )
 
-        # BSDF sampling at hits.
+        # BSDF sampling at hits. With stratification on, each lane's
+        # sample index / pixel id derive from `state.pixel` — the original
+        # packet-layout flat index, which compaction carries — so every
+        # bounce's BSDF and light dimensions stay stratified per pixel even
+        # after rays have been permuted (salts are per bounce and per
+        # dimension; see render/stratify.py for the unbiasedness argument).
         bkey = jax.random.fold_in(key, bounce + 1)
+        strat_b = strat_nee = None
+        if strat_spp is not None:
+            bp0 = P0 // samples
+            within = state.pixel % P0
+            s_idx = strat_offset + within // bp0
+            pid_s = (state.pixel // P0) * bp0 + within % bp0
+            strat_b = (s_idx, pid_s, strat_spp, 8 * bounce)
+            strat_nee = (s_idx, pid_s, strat_spp, 8 * bounce + 4)
         new_dir, atten, emitted, terminate, bsdf_pdf, diffuse = scatter_full(
-            materials, bkey, state.direction, kh.normal, kh.material
+            materials, bkey, state.direction, kh.normal, kh.material,
+            strat=strat_b,
         )
         if nee:
             # MIS: weight the emitter hit by how likely BSDF sampling was
@@ -746,7 +797,7 @@ def _pt_trace(
             lkey = jax.random.fold_in(bkey, 11)
             sh_o = point + nf * _EPS
             y, wi, pdf_nee, em_l, cos_y, light_i = sample_lights(
-                lights, lkey, sh_o
+                lights, lkey, sh_o, strat=strat_nee
             )
             cos_x = jnp.sum(wi * nf, axis=-1)
             cand = cand & (cos_x > 0.0) & (cos_y > 1e-6) & (pdf_nee > 0.0)
@@ -859,8 +910,14 @@ def _pt_trace(
         inv = jnp.where(new_dir == 0.0, jnp.inf, 1.0 / new_dir)
 
         active = hit & ~terminate
-        # Russian roulette after a few bounces.
-        if bounce >= 3:
+        # Russian roulette after ``rr_start`` bounces: kill paths with
+        # probability 1 - max(throughput) and reweight survivors — the
+        # estimator stays unbiased, and because compaction packs live rays
+        # into a prefix, every killed path directly removes trace work from
+        # all later bounces (the oracle-ceiling measurement in
+        # pallas_kernels.py shows traversal itself is within ~20% of its
+        # union-bound floor, so fewer rays is the remaining lever).
+        if bounce >= rr_start:
             p_continue = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
             rr = jax.random.uniform(jax.random.fold_in(bkey, 7), active.shape)
             survived = rr < p_continue
@@ -906,6 +963,8 @@ def make_pt_renderer_sharded(
     lights: LightTable | None = None,
     shadow_tracer=None,
     shadow_rr: bool = True,
+    rr_start: int = 3,
+    stratify: bool = True,
 ):
     """Multi-chip wavefront path tracer over a 1-D device mesh.
 
@@ -929,7 +988,8 @@ def make_pt_renderer_sharded(
     B_loc = B_pad // n_dev
 
     def local_chunk(
-        tracer_state, materials, env, sampler, key, lights_arg, samples: int
+        tracer_state, materials, env, sampler, key, lights_arg, strat_offset,
+        samples: int, strat_spp: int | None,
     ):
         d = jax.lax.axis_index(axis)
         key = jax.random.fold_in(key, d)
@@ -938,29 +998,31 @@ def make_pt_renderer_sharded(
         rays9 = gen_rays9_blocks(
             sampler, key, d * B_loc,
             block_count=B_loc, wc=wc, px_block=px_block, samples=samples,
+            strat_spp=strat_spp, strat_offset=strat_offset,
         )
         return _pt_trace(
             tracer_state, materials, env, rays9, key,
             tracer=tracer, samples=samples, bounces=bounces,
             compaction=compaction,
             lights=lights_arg, shadow_tracer=shadow_tracer,
-            shadow_rr=shadow_rr,
+            shadow_rr=shadow_rr, rr_start=rr_start,
+            strat_spp=strat_spp, strat_offset=strat_offset,
         )
 
     cache = {}
 
-    def chunk_fn(samples: int):
-        if samples not in cache:
-            cache[samples] = jax.jit(
+    def chunk_fn(samples: int, strat_spp: int | None):
+        if (samples, strat_spp) not in cache:
+            cache[(samples, strat_spp)] = jax.jit(
                 jax.shard_map(
-                    partial(local_chunk, samples=samples),
+                    partial(local_chunk, samples=samples, strat_spp=strat_spp),
                     mesh=mesh,
-                    in_specs=(P(), P(), P(), P(), P(), P()),
+                    in_specs=(P(), P(), P(), P(), P(), P(), P()),
                     out_specs=P(axis),
                     check_vma=False,
                 )
             )
-        return cache[samples]
+        return cache[(samples, strat_spp)]
 
     def render(tracer_state, materials, sampler, key, spp: int, env=None):
         if env is None:
@@ -970,9 +1032,10 @@ def make_pt_renderer_sharded(
         chunk = 0
         while done < spp:
             n = min(samples_per_packet, spp - done)
-            part = chunk_fn(n)(
+            part = chunk_fn(n, spp if stratify else None)(
                 tracer_state, materials, env, sampler,
                 jax.random.fold_in(key, 1000 + chunk), lights,
+                jnp.int32(done),
             )
             acc = part if acc is None else acc + part
             done += n
@@ -1007,6 +1070,8 @@ def render_frame_pt(
     shadow_tracer=None,
     shadow_sort: str = "pos",
     shadow_rr: bool = True,
+    rr_start: int = 3,
+    stratify: bool = True,
 ) -> jnp.ndarray:
     """Path-traced frame: mean RGB + alpha=1, shape ``(H, W, 4)``.
 
@@ -1019,6 +1084,14 @@ def render_frame_pt(
     ``shadow_rr`` (default on) Russian-roulettes low-throughput shadow
     candidates before the occlusion trace — still unbiased, and the
     deep-bounce anyhit pass gets ~2x cheaper for a small variance cost.
+    ``rr_start`` is the first bounce at which path Russian roulette may
+    kill a ray (survival probability = max throughput channel, survivors
+    reweighted — unbiased at any setting); lower values trade deep-bounce
+    trace time for variance.
+    ``stratify`` (default on) draws the film/lens, BSDF, and light-sample
+    dimensions from per-pixel jittered strata spanning the full ``spp``
+    (:mod:`minipath_tpu.render.stratify`) — identical estimator mean,
+    lower variance than iid sampling at the same spp.
     """
     if env is None:
         env = Environment.sky()
@@ -1048,6 +1121,9 @@ def render_frame_pt(
             shadow_tracer=shadow_tracer,
             shadow_sort=shadow_sort,
             shadow_rr=shadow_rr,
+            rr_start=rr_start,
+            strat_spp=spp if stratify else None,
+            strat_offset=jnp.int32(done),
         )
         acc = part if acc is None else acc + part
         done += n

@@ -163,17 +163,27 @@ def material_rows(materials: MaterialTable, mat_id):
     )
 
 
-def sample_lights(lights: LightTable, key, x):
+def sample_lights(lights: LightTable, key, x, strat=None):
     """Sample one light point per shading point ``x`` ``(N, 3)``.
 
     Returns ``(y, wi, pdf_solid, emission, cos_y, li)``: the light point,
     the unit direction towards it, the solid-angle pdf of having sampled
     that direction (selection pmf x area-to-solid-angle), the light's
     radiance, the (two-sided) cosine at the light, and the sampled light's
-    index (useful as an occlusion-batch sort key)."""
+    index (useful as an occlusion-batch sort key).
+
+    ``strat`` is ``None`` (iid) or ``(s, pid, spp, salt)``: the light
+    selection and the triangle-point pair then draw from per-pixel
+    jittered strata (:mod:`minipath_tpu.render.stratify`) — same
+    distribution, lower variance."""
+    from minipath_tpu.render.stratify import strat1d, strat2d
+
     ks, kt = jax.random.split(key)
     n = x.shape[0]
     u = jax.random.uniform(ks, (n,))
+    if strat is not None:
+        s_idx, pid, spp, salt = strat
+        u = strat1d(u, s_idx, pid, spp, salt + 0)
     li = jnp.clip(
         jnp.searchsorted(lights.cdf, u, side="left"), 0, lights.cdf.shape[0] - 1
     )
@@ -201,6 +211,9 @@ def sample_lights(lights: LightTable, key, x):
     pmf = row[:, 15]
     area = row[:, 16]
     r = jax.random.uniform(kt, (n, 2))
+    if strat is not None:
+        r0, r1 = strat2d(r[:, 0], r[:, 1], s_idx, pid, spp, salt + 1)
+        r = jnp.stack([r0, r1], axis=-1)
     s = jnp.sqrt(r[:, 0])
     bu = (1.0 - s)[:, None]
     bv = (r[:, 1] * s)[:, None]

@@ -132,6 +132,31 @@ class TestAnalytic:
             a[..., :3].mean(), b[..., :3].mean(), rtol=0.05
         )
 
+    def test_rr_start_mean_invariant(self):
+        # Path Russian roulette is unbiased at ANY start bounce: killing a
+        # ray with probability 1-p and reweighting survivors by 1/p leaves
+        # the estimator mean unchanged (E[1{u<p}/p] = 1). rr_start=1 kills
+        # half the bounce-1 rays of this albedo-0.5 floor, so agreement
+        # here exercises the reweighting, not just the kill mask.
+        obj, table = _floor_scene(lambertian((0.5, 0.5, 0.5)))
+        env = Environment.sky()
+        sampler = _down_camera().build_sampler((16, 16))
+        kw = dict(
+            width=16, height=16, spp=64, bounces=4, env=env,
+            px_block=(16, 16), samples_per_packet=8,
+        )
+        tr, tr_state = _tracer(obj)
+        means = [
+            np.asarray(
+                render_frame_pt(
+                    tr, tr_state, table, sampler, jax.random.key(3),
+                    rr_start=rr, **kw,
+                )
+            )[..., :3].mean()
+            for rr in (3, 1)
+        ]
+        np.testing.assert_allclose(means[0], means[1], rtol=0.05)
+
 
 class TestScatter:
     def test_lambertian_hemisphere(self, rng):

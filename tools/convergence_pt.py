@@ -59,12 +59,12 @@ def main():
     )
     sampler = cam.build_sampler((W, H))
 
-    def frame(spp, seed, compaction):
+    def frame(spp, seed, compaction, stratify=True):
         t0 = time.time()
         img = render_frame_pt(
             tracer, tstate, table, sampler, jax.random.key(seed),
             width=W, height=H, spp=spp, bounces=BOUNCES,
-            samples_per_packet=8, compaction=compaction,
+            samples_per_packet=8, compaction=compaction, stratify=stratify,
         )
         img = np.asarray(img)
         return img, time.time() - t0
@@ -110,6 +110,29 @@ def main():
     mk_rmse = rmse(mk, ref)
     print(f"  megakernel {TOP} spp: {mk_dt:.1f}s  rmse {mk_rmse:.5f}", flush=True)
 
+    # Quantify what per-pixel stratification buys at the practical rungs:
+    # the iid (reference-style) estimator's RMSE at the same spp, averaged
+    # over a few seeds on both sides so the comparison isn't one draw.
+    print("iid-vs-stratified rungs...", flush=True)
+    strat_gain = []
+    for s in ladder[:2]:
+        frame(s, seed=0, compaction=True, stratify=False)  # warm iid compile
+        r_iid = np.mean(
+            [rmse(frame(s, seed=20 + i, compaction=True, stratify=False)[0],
+                  ref) for i in range(3)]
+        )
+        r_st = np.mean(
+            [rmse(frame(s, seed=20 + i, compaction=True)[0], ref)
+             for i in range(3)]
+        )
+        strat_gain.append(
+            {"spp": s, "rmse_iid": round(float(r_iid), 6),
+             "rmse_stratified": round(float(r_st), 6),
+             "mse_reduction": round(float((r_iid / r_st) ** 2), 3)}
+        )
+        print(f"  spp {s}: iid {r_iid:.5f} vs strat {r_st:.5f} "
+              f"(MSE x{strat_gain[-1]['mse_reduction']})", flush=True)
+
     out = {
         "workload": f"atrium PT {W}x{H}, {BOUNCES} bounces, top rung {TOP} spp",
         "rungs": rungs,
@@ -120,6 +143,8 @@ def main():
         "noise_floor_rmse": round(floor, 6),
         "megakernel_rmse_vs_wavefront": round(mk_rmse, 6),
         "estimators_agree": bool(mk_rmse < 2.0 * floor),
+        "stratified": True,
+        "stratification_gain": strat_gain,
     }
     with open(os.path.join(REPO, "CONVERGENCE.json"), "w") as f:
         json.dump(out, f, indent=2)
