@@ -54,6 +54,13 @@ def main():
     W = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     H = int(sys.argv[2]) if len(sys.argv) > 2 else 1536
 
+    # Same persistent compile cache the front-ends enable: "cold" then
+    # means a fresh process (the relaunch the user actually experiences),
+    # not a from-scratch Mosaic compile of every kernel.
+    from minipath_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     bvh = TriangleBvh.with_obj("/root/reference/data/teapot.obj")
     camera = (
         Camera()

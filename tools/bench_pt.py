@@ -34,6 +34,9 @@ from minipath_tpu.scene.materials import (
     metal,
 )
 from minipath_tpu.scene.procedural import make_atrium
+from minipath_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # persistent cache: reruns skip minutes of Mosaic compiles
 
 
 def build_scene():

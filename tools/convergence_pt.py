@@ -28,6 +28,9 @@ import jax
 from minipath_tpu.camera import Camera
 from minipath_tpu.render.pallas_kernels import prepare_scene_pt
 from minipath_tpu.render.wavefront import make_pt_tracer, render_frame_pt
+from minipath_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # persistent cache: reruns skip minutes of Mosaic compiles
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_pt import build_scene

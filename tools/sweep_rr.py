@@ -41,6 +41,9 @@ from minipath_tpu.scene.materials import (
     material_table,
 )
 from minipath_tpu.scene.procedural import atrium_materials, make_atrium
+from minipath_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()  # persistent cache: reruns skip minutes of Mosaic compiles
 
 BOUNCES = 5
 
