@@ -368,11 +368,15 @@ def _make_pt_controller(args, bvh, camera, material_dicts):
         sampler = cam.build_sampler((w, h))
 
         def frame(i):
+            # Strata tile across accumulation passes in 64-pass rounds:
+            # the spp-1 viewport passes then converge like a 64-way
+            # stratified render instead of iid frames.
             return np.asarray(render_frame_pt(
                 tracer, tstate, table, sampler,
                 jax.random.key(i),
                 width=w, height=h, spp=1, bounces=5,
                 px_block=(16, 16), samples_per_packet=1,
+                strat_total=64, strat_offset=i % 64,
             ))
 
         return frame

@@ -1072,6 +1072,8 @@ def render_frame_pt(
     shadow_rr: bool = True,
     rr_start: int = 3,
     stratify: bool = True,
+    strat_total: int | None = None,
+    strat_offset: int = 0,
 ) -> jnp.ndarray:
     """Path-traced frame: mean RGB + alpha=1, shape ``(H, W, 4)``.
 
@@ -1092,6 +1094,13 @@ def render_frame_pt(
     dimensions from per-pixel jittered strata spanning the full ``spp``
     (:mod:`minipath_tpu.render.stratify`) — identical estimator mean,
     lower variance than iid sampling at the same spp.
+    ``strat_total``/``strat_offset`` widen the stratum window beyond this
+    call: a progressive accumulator rendering many small-spp passes can
+    pass the per-round total and this pass's global sample offset so the
+    strata tile across passes (e.g. the GUI viewport's spp-1 passes
+    stratify over 64-pass rounds). Exactly unbiased at every completed
+    round; mid-round the running mean over-weights the strata drawn so
+    far, an error that vanishes as passes accumulate.
     """
     if env is None:
         env = Environment.sky()
@@ -1122,8 +1131,8 @@ def render_frame_pt(
             shadow_sort=shadow_sort,
             shadow_rr=shadow_rr,
             rr_start=rr_start,
-            strat_spp=spp if stratify else None,
-            strat_offset=jnp.int32(done),
+            strat_spp=(strat_total or spp) if stratify else None,
+            strat_offset=jnp.int32(strat_offset + done),
         )
         acc = part if acc is None else acc + part
         done += n

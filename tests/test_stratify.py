@@ -122,6 +122,35 @@ class TestIntegratorWiring:
         ])
         np.testing.assert_allclose(a, b, rtol=0.03)
 
+    def test_cross_pass_window(self, setup):
+        # The progressive-accumulator contract: N spp-1 passes with
+        # strat_total=N and offsets 0..N-1 tile the same strata as one
+        # spp=N render — the accumulated mean must agree with the
+        # single-call estimator (GUI viewport wiring).
+        from minipath_tpu.render.wavefront import render_frame_pt
+
+        tracer, tstate, table, sampler, env = setup
+        kw = dict(
+            width=16, height=16, bounces=3, env=env,
+            px_block=(16, 16), samples_per_packet=8,
+        )
+        one = np.mean([
+            np.asarray(render_frame_pt(
+                tracer, tstate, table, sampler, jax.random.key(40 + r),
+                spp=8, **kw,
+            ))[..., :3]
+            for r in range(2)
+        ], axis=0)
+        kw1 = dict(kw, samples_per_packet=1)
+        passes = np.mean([
+            np.asarray(render_frame_pt(
+                tracer, tstate, table, sampler, jax.random.key(60 + i),
+                spp=1, strat_total=8, strat_offset=i % 8, **kw1,
+            ))[..., :3]
+            for i in range(16)
+        ], axis=0)
+        np.testing.assert_allclose(one.mean(), passes.mean(), rtol=0.04)
+
     def test_variance_reduced(self, setup):
         # Per-pixel estimator variance (measured across seeds) must drop —
         # the point of stratifying. The margin is loose; typical reduction
