@@ -414,12 +414,18 @@ def make_pt_shadow_tracer(
     stack_size: int,
     packet_size: int = 2048,
     interpret: bool = False,
+    sort_children: bool = True,
 ):
     """Occlusion tracer over the lean PT kernel (anyhit mode).
 
     Returns ``(shadow_fn, scene)`` like the tracer factories;
     ``shadow(state, origin, segment, live_rays=None) -> (N,) bool`` is True
     where something blocks the segment ``origin -> origin+segment``.
+
+    ``sort_children`` keeps the near-first push ordering; for anyhit the
+    tradeoff differs from closest-hit (lanes retire at the FIRST hit, so
+    ordering only matters for how fast occluders are found) — exposed for
+    measurement (tools/sweep_shadow.py).
     """
     assert packet_size % 128 == 0, packet_size
 
@@ -437,6 +443,7 @@ def make_pt_shadow_tracer(
             interpret=interpret,
             live_packets=live_packets,
             anyhit=True,
+            sort_children=sort_children,
         )
         return ph.tri.reshape(Np)[:N] >= 0
 

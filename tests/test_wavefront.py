@@ -409,6 +409,15 @@ def test_pallas_shadow_tracer_anyhit_matches_closest(rng):
     want = np.asarray(ph.tri).reshape(n) >= 0
     np.testing.assert_array_equal(occ, want)
     assert occ.any() and not occ.all()  # both classes exercised
+    # Occlusion is order-independent: the unsorted-children anyhit kernel
+    # (no near-first push network — a measured perf knob, sweep_shadow.py)
+    # must report the identical occluded set.
+    shadow_u, _ = make_pt_shadow_tracer(
+        sp, stack_size=obj.recommended_stack_size, packet_size=128,
+        interpret=True, sort_children=False,
+    )
+    occ_u = np.asarray(shadow_u(sp, jnp.asarray(o), jnp.asarray(seg)))
+    np.testing.assert_array_equal(occ_u, want)
 
 
 def test_q_shadow_tracer_matches_xla(rng):
