@@ -53,6 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-compaction", action="store_true", help="path tracer: disable wavefront stream compaction (megakernel mode)")
     p.add_argument("--nee", action="store_true", help="path tracer: next-event estimation (explicit light sampling with MIS; needs emissive materials, e.g. --scene atrium)")
     p.add_argument("--no-shadow-rr", action="store_true", help="path tracer: disable shadow-ray Russian roulette (trade NEE speed back for slightly lower variance)")
+    p.add_argument("--iid", action="store_true", help="path tracer: reference-style iid sampling instead of per-pixel stratification (for A/B noise comparisons)")
     return p
 
 
@@ -246,6 +247,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             lights=lights,
             shadow_tracer=shadow_tracer,
             shadow_rr=not args.no_shadow_rr,
+            stratify=not args.iid,
         )
         img = renderer(
             tracer_state,
@@ -272,6 +274,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             lights=lights,
             shadow_tracer=shadow_tracer,
             shadow_rr=not args.no_shadow_rr,
+            stratify=not args.iid,
         )
     a = np.array(img, copy=True)
     elapsed = time.time() - t0
