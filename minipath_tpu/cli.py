@@ -54,6 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nee", action="store_true", help="path tracer: next-event estimation (explicit light sampling with MIS; needs emissive materials, e.g. --scene atrium)")
     p.add_argument("--no-shadow-rr", action="store_true", help="path tracer: disable shadow-ray Russian roulette (trade NEE speed back for slightly lower variance)")
     p.add_argument("--iid", action="store_true", help="path tracer: reference-style iid sampling instead of per-pixel stratification (for A/B noise comparisons)")
+    p.add_argument("--denoise", action="store_true", help="path tracer: edge-avoiding a-trous filter guided by first-hit normals/depth (biased post-process; the saved PNG only)")
     return p
 
 
@@ -285,6 +286,21 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
         f"({rays / elapsed / 1e6:.1f} Mpaths/s)",
         file=sys.stderr,
     )
+    if args.denoise:
+        import jax.numpy as jnp
+
+        from minipath_tpu.render.denoise import atrous_denoise, render_aux
+
+        n_img, z_img = render_aux(
+            tracer, tracer_state,
+            camera.build_sampler((args.width, args.height)),
+            jax.random.key(args.seed + 1),
+            width=args.width, height=args.height,
+        )
+        a[..., :3] = np.asarray(
+            atrous_denoise(jnp.asarray(a[..., :3]), n_img, z_img)
+        )
+        print("denoised (edge-avoiding a-trous)", file=sys.stderr)
     a[..., :3] = np.clip(a[..., :3], 0.0, 1.0) ** (1 / 2.2)  # display gamma
     save_png(args.output, color_to_image(a))
     print(f"saved {args.output}", file=sys.stderr)

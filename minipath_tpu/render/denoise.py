@@ -1,0 +1,156 @@
+"""Edge-avoiding à-trous denoiser for path-traced frames.
+
+A TPU-friendly post-process in the SVGF/EAW family (Dammertz et al. 2010,
+"Edge-Avoiding À-Trous Wavelet Transform for fast Global Illumination
+Filtering"): iterated 5x5 B-spline smoothing with exponentially growing
+dilation, where each tap's weight is attenuated by color, normal, and
+depth differences so filtering never crosses geometric edges. Everything
+is dense elementwise math on (H, W, C) images — pad + static slices, no
+gathers — so XLA fuses it into a handful of cheap kernels on both CPU and
+TPU.
+
+The guide buffers (first-hit normal and depth) come from one extra
+1-sample trace of the SAME tracer the path tracer uses
+(:func:`render_aux`); at the low spp counts where denoising matters the
+aux trace is a coherent primary-ray packet pass, orders of magnitude
+cheaper than the path-traced frame it guides.
+
+This is a biased post-process (the estimator itself stays untouched and
+unbiased); it is opt-in: the CLI's ``--denoise`` and any caller of
+:func:`atrous_denoise`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from minipath_tpu.parallel.mesh import gen_frame_rays9, unpack_frame_ms
+
+__all__ = ["atrous_denoise", "render_aux"]
+
+# 5-tap binomial (B3 spline) — the standard à-trous generator.
+_H1 = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def _shifted(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """``img`` translated by (dy, dx) with edge-clamped borders.
+
+    Static pad + slice (no dynamic indexing): XLA folds this into the
+    surrounding elementwise graph.
+    """
+    H, W = img.shape[0], img.shape[1]
+    py0, py1 = max(dy, 0), max(-dy, 0)
+    px0, px1 = max(dx, 0), max(-dx, 0)
+    pad = [(py0, py1), (px0, px1)] + [(0, 0)] * (img.ndim - 2)
+    padded = jnp.pad(img, pad, mode="edge")
+    return padded[py1:py1 + H, px1:px1 + W]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("iterations", "sigma_color", "sigma_normal", "sigma_depth"),
+)
+def atrous_denoise(
+    rgb: jnp.ndarray,
+    normal: jnp.ndarray,
+    depth: jnp.ndarray,
+    *,
+    iterations: int = 4,
+    sigma_color: float = 0.4,
+    sigma_normal: float = 128.0,
+    sigma_depth: float = 0.15,
+) -> jnp.ndarray:
+    """Denoise a linear-RGB frame guided by first-hit geometry.
+
+    ``rgb`` is ``(H, W, 3)`` linear radiance, ``normal`` ``(H, W, 3)``
+    (zeros where the primary ray missed), ``depth`` ``(H, W)`` hit
+    distance. Returns the filtered ``(H, W, 3)``.
+
+    Weights per tap ``q`` around pixel ``p`` at dilation ``d = 2^i``:
+    ``B3(q) * exp(-|c_p-c_q|^2 / sigma_c_i^2) * max(0, n_p.n_q)^sigma_n *
+    exp(-|z_p-z_q| / (sigma_z * d * z_scale))``, with ``sigma_c`` halved
+    each iteration (the standard EAW schedule) and the depth scale
+    normalized by the frame's depth spread so the knob is scene-size
+    independent. Miss pixels (normal == 0) only mix with other miss
+    pixels via the normal term's dot product.
+    """
+    depth = depth.astype(jnp.float32)
+    rgb = rgb.astype(jnp.float32)
+    normal = normal.astype(jnp.float32)
+    z_lo = jnp.min(depth)
+    z_hi = jnp.max(jnp.where(jnp.isfinite(depth), depth, z_lo))
+    z_scale = jnp.maximum(z_hi - z_lo, 1e-6)
+    miss = jnp.all(normal == 0.0, axis=-1)
+    n_eff = normal  # miss pixels carry a zero normal (handled explicitly)
+
+    out = rgb
+    for it in range(iterations):
+        d = 1 << it
+        sc = sigma_color / (2.0 ** it)
+        num = jnp.zeros_like(out)
+        den = jnp.zeros_like(out[..., :1])
+        for iy in range(-2, 3):
+            for ix in range(-2, 3):
+                h = float(_H1[iy + 2] * _H1[ix + 2])
+                c_q = _shifted(out, iy * d, ix * d)
+                n_q = _shifted(n_eff, iy * d, ix * d)
+                z_q = _shifted(depth, iy * d, ix * d)
+                m_q = _shifted(miss.astype(jnp.float32), iy * d, ix * d)
+                w_c = jnp.exp(
+                    -jnp.sum((out - c_q) ** 2, axis=-1) / (sc * sc)
+                )
+                ndot = jnp.clip(jnp.sum(n_eff * n_q, axis=-1), 0.0, 1.0)
+                # miss-with-miss pairs pass (both sentinel normals),
+                # miss-with-geometry pairs are rejected.
+                both_miss = miss * m_q
+                w_n = jnp.where(
+                    both_miss > 0.0, 1.0, ndot ** sigma_normal
+                ) * jnp.where(miss != (m_q > 0.0), 0.0, 1.0)
+                w_z = jnp.exp(
+                    -jnp.abs(depth - z_q) / (sigma_depth * d * z_scale)
+                )
+                w = (h * w_c * w_n * w_z)[..., None]
+                num = num + w * c_q
+                den = den + w
+        out = num / jnp.maximum(den, 1e-8)
+    return out
+
+
+def render_aux(
+    tracer,
+    tracer_state,
+    sampler,
+    key,
+    *,
+    width: int,
+    height: int,
+    px_block=(16, 16),
+):
+    """First-hit guide buffers for :func:`atrous_denoise`.
+
+    One 1-sample primary trace through the given tracer (the same
+    factory-made tracer the path tracer uses, so the scene layout is
+    shared). Returns ``(normal (H, W, 3), depth (H, W))``; misses get a
+    zero normal and the frame's max hit depth.
+    """
+    rays9, counts = gen_frame_rays9(
+        sampler, key, width=width, height=height, px_block=px_block, samples=1
+    )
+    B0, _, S, LN = rays9.shape
+    P0 = S * LN
+    flat = jnp.swapaxes(rays9.reshape(B0, 9, P0), 1, 2).reshape(-1, 9)
+    kh = tracer(tracer_state, flat[:, 0:3], flat[:, 3:6], flat[:, 6:9])
+    hit = kh.tri >= 0
+    normal = jnp.where(hit[..., None], kh.normal, 0.0)
+    depth = jnp.where(hit, kh.t, jnp.max(jnp.where(hit, kh.t, 0.0)))
+    # One (B, P, 4) unpack: normal in rgb, depth in alpha (the frame
+    # unpacker's channel count is fixed at 4).
+    packed = jnp.concatenate(
+        [normal, depth[..., None]], axis=-1
+    ).reshape(B0, P0, 4)
+    img = unpack_frame_ms(packed, width, height, counts, px_block, samples=1)
+    return img[..., :3], img[..., 3]
