@@ -157,10 +157,15 @@ class ProgressivePtController:
     (start/update/display_image/move_camera/shutdown).
     """
 
-    def __init__(self, make_frame, camera, resolution):
+    def __init__(self, make_frame, camera, resolution, make_aux=None):
         # make_frame(camera) -> callable(chunk_index) -> (H, W, >=3) float
         # linear-RGB mean image for that chunk (one compiled spp chunk).
+        # make_aux(camera) -> (normal (H, W, 3), depth (H, W)) guide
+        # buffers; when given, early passes are displayed through the
+        # edge-avoiding a-trous denoiser, fading to the raw accumulation
+        # as samples arrive (display-only — the accumulator is untouched).
         self.make_frame = make_frame
+        self.make_aux = make_aux
         self.camera = camera
         self.resolution = tuple(resolution)
         w, h = self.resolution
@@ -168,6 +173,7 @@ class ProgressivePtController:
         self._n = 0
         self._seen = 0
         self._gen = 0
+        self._aux = None
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -186,9 +192,11 @@ class ProgressivePtController:
             if cur_gen != gen:
                 gen, i = cur_gen, 0
                 frame = self.make_frame(camera)
+                aux = self.make_aux(camera) if self.make_aux else None
                 with self._lock:
                     self._acc[:] = 0.0
                     self._n = 0
+                    self._aux = aux
             img = np.asarray(frame(i), np.float64)[..., :3]
             i += 1
             with self._lock:
@@ -222,6 +230,22 @@ class ProgressivePtController:
             if self._n == 0:
                 return np.zeros((h, w, 3), np.uint8)
             mean = self._acc / self._n
+            n, aux = self._n, self._aux
+        if aux is not None and n < 64:
+            # Display-side denoise while the accumulation is thin, fading
+            # to the raw (unbiased) mean as samples arrive.
+            import jax.numpy as jnp
+
+            from minipath_tpu.render.denoise import atrous_denoise
+
+            den = np.asarray(
+                atrous_denoise(
+                    jnp.asarray(mean, jnp.float32), aux[0], aux[1]
+                ),
+                np.float64,
+            )
+            t = n / 64.0
+            mean = den * (1.0 - t) + mean * t
         srgb = np.clip(mean, 0.0, 1.0) ** (1.0 / 2.2)
         return (srgb * 255.0 + 0.5).astype(np.uint8)
 
@@ -381,7 +405,17 @@ def _make_pt_controller(args, bvh, camera, material_dicts):
 
         return frame
 
-    return ProgressivePtController(make_frame, camera, (w, h))
+    def make_aux(cam):
+        # First-hit guide buffers for the display-side denoiser (one
+        # coherent 1-spp trace per camera generation).
+        from minipath_tpu.render.denoise import render_aux
+
+        return render_aux(
+            tracer, tstate, cam.build_sampler((w, h)), jax.random.key(0),
+            width=w, height=h,
+        )
+
+    return ProgressivePtController(make_frame, camera, (w, h), make_aux)
 
 
 if __name__ == "__main__":

@@ -210,6 +210,43 @@ class TestProgressivePt:
         assert abs(int(img[0, 0, 0]) - want) <= 1
         c.shutdown()
 
+    def test_display_denoise_blend(self):
+        # With make_aux given, early-pass display goes through the
+        # edge-avoiding denoiser. On a constant image the filter is an
+        # identity (all neighbor diffs are 0), so the displayed value must
+        # match the raw mean regardless of the blend weight — this checks
+        # the aux wiring and the blend math don't corrupt the image.
+        import jax.numpy as jnp
+
+        from minipath_tpu.gui import ProgressivePtController
+
+        w, h = 8, 6
+
+        def make_frame(camera):
+            def frame(i):
+                time.sleep(0.002)
+                return np.full((h, w, 4), 0.25, np.float32)
+
+            return frame
+
+        def make_aux(camera):
+            n = jnp.zeros((h, w, 3), jnp.float32).at[..., 1].set(1.0)
+            z = jnp.full((h, w), 3.0, jnp.float32)
+            return n, z
+
+        cam = Camera().look_at((0, 0, 5), (0, 0, 0))
+        c = ProgressivePtController(make_frame, cam, (w, h), make_aux)
+        c.start()
+        deadline = time.time() + 30
+        while c.samples() < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        assert c.samples() >= 2  # < 64 passes -> denoise branch active
+        img = c.display_image()
+        want = int(0.25 ** (1 / 2.2) * 255 + 0.5)
+        assert abs(int(img[0, 0, 0]) - want) <= 1
+        assert abs(int(img[h // 2, w // 2, 0]) - want) <= 1
+        c.shutdown()
+
     def test_update_reports_new_samples_only(self):
         c, _ = self._controller()
         assert c.update() is False  # nothing yet
