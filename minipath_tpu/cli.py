@@ -55,6 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-shadow-rr", action="store_true", help="path tracer: disable shadow-ray Russian roulette (trade NEE speed back for slightly lower variance)")
     p.add_argument("--iid", action="store_true", help="path tracer: reference-style iid sampling instead of per-pixel stratification (for A/B noise comparisons)")
     p.add_argument("--denoise", action="store_true", help="path tracer: edge-avoiding a-trous filter guided by first-hit normals/depth (biased post-process; the saved PNG only)")
+    p.add_argument("--aov", metavar="PREFIX", default=None, help="path tracer: also write first-hit AOVs <PREFIX>_normal.png and <PREFIX>_depth.png")
     return p
 
 
@@ -286,7 +287,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
         f"({rays / elapsed / 1e6:.1f} Mpaths/s)",
         file=sys.stderr,
     )
-    if args.denoise:
+    if args.denoise or args.aov:
         import jax.numpy as jnp
 
         from minipath_tpu.render.denoise import atrous_denoise, render_aux
@@ -297,10 +298,37 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             jax.random.key(args.seed + 1),
             width=args.width, height=args.height,
         )
-        a[..., :3] = np.asarray(
-            atrous_denoise(jnp.asarray(a[..., :3]), n_img, z_img)
-        )
-        print("denoised (edge-avoiding a-trous)", file=sys.stderr)
+        if args.denoise:
+            a[..., :3] = np.asarray(
+                atrous_denoise(jnp.asarray(a[..., :3]), n_img, z_img)
+            )
+            print("denoised (edge-avoiding a-trous)", file=sys.stderr)
+        if args.aov:
+            n_np = np.asarray(n_img)
+            hit = np.any(n_np != 0.0, axis=-1)
+            n_vis = np.where(hit[..., None], n_np * 0.5 + 0.5, 0.0)
+            save_png(
+                f"{args.aov}_normal.png",
+                (np.concatenate(
+                    [n_vis, hit[..., None].astype(np.float64)], -1
+                ) * 255 + 0.5).astype(np.uint8),
+            )
+            z_np = np.asarray(z_img)
+            z_hit = z_np[hit] if hit.any() else np.array([0.0, 1.0])
+            lo, hi = float(z_hit.min()), float(z_hit.max())
+            # Near = bright, far = dark, normalized over the hit range.
+            z_vis = np.where(
+                hit, 1.0 - (z_np - lo) / max(hi - lo, 1e-6), 0.0
+            ).clip(0.0, 1.0)
+            z_rgba = np.repeat(z_vis[..., None], 3, axis=-1)
+            save_png(
+                f"{args.aov}_depth.png",
+                (np.concatenate(
+                    [z_rgba, np.ones_like(z_vis)[..., None]], -1
+                ) * 255 + 0.5).astype(np.uint8),
+            )
+            print(f"saved {args.aov}_normal.png, {args.aov}_depth.png",
+                  file=sys.stderr)
     a[..., :3] = np.clip(a[..., :3], 0.0, 1.0) ** (1 / 2.2)  # display gamma
     save_png(args.output, color_to_image(a))
     print(f"saved {args.output}", file=sys.stderr)
