@@ -56,6 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iid", action="store_true", help="path tracer: reference-style iid sampling instead of per-pixel stratification (for A/B noise comparisons)")
     p.add_argument("--denoise", action="store_true", help="path tracer: edge-avoiding a-trous filter guided by first-hit normals/depth (biased post-process; the saved PNG only)")
     p.add_argument("--aov", metavar="PREFIX", default=None, help="path tracer: also write first-hit AOVs <PREFIX>_normal.png and <PREFIX>_depth.png")
+    p.add_argument("--adaptive", action="store_true", help="path tracer: adaptive sampling — a 2-spp pilot allocates the --spp budget toward noisy packets (unbiased; single-device)")
     return p
 
 
@@ -258,6 +259,26 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             jax.random.key(args.seed),
             args.spp,
             env=Environment.sky(),
+        )
+    elif args.adaptive:
+        from minipath_tpu.render.adaptive import render_frame_pt_adaptive
+
+        img = render_frame_pt_adaptive(
+            tracer,
+            tracer_state,
+            table,
+            camera.build_sampler((args.width, args.height)),
+            jax.random.key(args.seed),
+            width=args.width,
+            height=args.height,
+            spp=args.spp,
+            bounces=args.bounces,
+            env=Environment.sky(),
+            compaction=not args.no_compaction,
+            lights=lights,
+            shadow_tracer=shadow_tracer,
+            shadow_rr=not args.no_shadow_rr,
+            stratify=not args.iid,
         )
     else:
         img = render_frame_pt(

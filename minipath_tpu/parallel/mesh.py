@@ -123,6 +123,7 @@ def gen_rays9_blocks(
     samples: int = 4,
     strat_spp: int | None = None,
     strat_offset=0,
+    block_ids=None,
 ):
     """Multi-sample packet rays for ``block_count`` pixel blocks starting at
     ``block_start`` in the frame's row-major block order (``wc`` blocks per
@@ -133,13 +134,24 @@ def gen_rays9_blocks(
     over the pixel's TOTAL spp; ``strat_offset`` (traced) is this chunk's
     first global sample index, so stratification spans chunk boundaries
     when spp exceeds the per-packet sample count.
+
+    ``block_ids`` (``(block_count,)`` i32, traced) overrides the contiguous
+    range with an explicit per-packet block index — the adaptive sampler
+    renders packets in allocation order this way.
     """
     from minipath_tpu.render.pallas_kernels import rays_to_rays9
 
     bh, bw = px_block
     bp = bh * bw
     # Packet-major pixel coordinates: packet b covers block (by, bx).
-    b_idx = block_start + jax.lax.broadcasted_iota(jnp.int32, (block_count, bp), 0)
+    if block_ids is not None:
+        b_idx = jnp.broadcast_to(
+            block_ids.astype(jnp.int32)[:, None], (block_count, bp)
+        )
+    else:
+        b_idx = block_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_count, bp), 0
+        )
     p_idx = jax.lax.broadcasted_iota(jnp.int32, (block_count, bp), 1)
     by, bx = b_idx // wc, b_idx % wc
     py, px = p_idx // bw, p_idx % bw

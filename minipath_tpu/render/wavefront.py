@@ -695,9 +695,17 @@ def _pt_trace(
     rr_start: int = 3,
     strat_spp: int | None = None,
     strat_offset=0,
+    live_rays=None,
+    with_sumsq: bool = False,
 ):
     """The bounce loop for an arbitrary camera-ray batch ``rays9``
     (whole frame or one device's shard). Returns ``(B0, bp, 3)`` sums.
+
+    ``live_rays`` (traced scalar) marks only the first N rays live — the
+    adaptive sampler renders packets in allocation order and skips the
+    dead suffix in-kernel from bounce 0. ``with_sumsq`` additionally
+    returns the per-pixel sum of squared per-sample luminances
+    ``(B0, bp)`` (the pilot pass's variance estimate).
 
     When ``lights`` (a :class:`LightTable`) and ``shadow_tracer`` are given,
     next-event estimation runs at every diffuse vertex: one explicit light
@@ -720,12 +728,16 @@ def _pt_trace(
         throughput=jnp.ones((N, 3), jnp.float32),
         radiance=jnp.zeros((N, 3), jnp.float32),
         pixel=pixel,
-        active=jnp.ones((N,), bool),
+        active=(
+            jnp.ones((N,), bool)
+            if live_rays is None
+            else jnp.arange(N, dtype=jnp.int32) < live_rays
+        ),
         prev_pdf=jnp.zeros((N,), jnp.float32) if nee else None,
     )
 
     for bounce in range(bounces):
-        live = None
+        live = None if live_rays is None else jnp.int32(live_rays)
         if compaction and bounce > 0:
             state = _compact(state, fine_direction=bounce == 1)
             # Dead rays are now a suffix; tell the tracer the live count so
@@ -953,7 +965,14 @@ def _pt_trace(
     rad = jax.ops.segment_sum(state.radiance, state.pixel, num_segments=N)
     rad = rad.reshape(B0, P0, 3)
     bp = P0 // samples
-    return rad.reshape(B0, samples, bp, 3).sum(axis=1)
+    per_sample = rad.reshape(B0, samples, bp, 3)
+    out = per_sample.sum(axis=1)
+    if with_sumsq:
+        lum = jnp.einsum(
+            "bspc,c->bsp", per_sample, jnp.asarray([0.2126, 0.7152, 0.0722])
+        )
+        return out, (lum * lum).sum(axis=1)
+    return out
 
 
 def make_pt_renderer_sharded(
