@@ -62,7 +62,8 @@ def _shade_parity_sum(rays9, kh, samples: int):
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "px_block", "samples", "stack_size", "interpret"
+        "width", "height", "px_block", "samples", "stack_size", "interpret",
+        "strat_spp",
     ),
 )
 def _render_chunk(
@@ -77,11 +78,14 @@ def _render_chunk(
     samples: int,
     stack_size: int,
     interpret: bool = False,
+    strat_spp: int | None = None,
+    strat_offset=0,
 ):
     """One chunk: ``samples`` spp for every pixel. Returns ``(B, bp, 4)``
     RGBA sums over the chunk's samples (bp = pixels per packet)."""
     rays9, _counts = gen_frame_rays9(
-        sampler, key, width=width, height=height, px_block=px_block, samples=samples
+        sampler, key, width=width, height=height, px_block=px_block,
+        samples=samples, strat_spp=strat_spp, strat_offset=strat_offset,
     )
     kh = trace_scene(scene, rays9, stack_size=stack_size, interpret=interpret)
     return _shade_parity_sum(rays9, kh, samples)
@@ -100,8 +104,16 @@ def render_frame_pallas(
     samples_per_packet: int = 16,
     scene: "PallasScene | QuantizedPallasScene | None" = None,
     interpret: bool = False,
+    stratify: bool = True,
 ) -> jnp.ndarray:
-    """Full-frame mean image ``(H, W, 4)`` float32 in [0, 1]."""
+    """Full-frame mean image ``(H, W, 4)`` float32 in [0, 1].
+
+    ``stratify`` (default on) draws the film jitter and lens sample from
+    per-pixel jittered strata spanning the full ``spp`` — the "stratified
+    pixel sampling" of the BASELINE parity config: identical mean,
+    visibly less edge/DOF noise at the same spp than the reference's iid
+    jitter (`camera.rs:176-180`).
+    """
     if scene is None:
         scene = prepare_scene(bvh)
     bh, bw = px_block
@@ -124,6 +136,8 @@ def render_frame_pallas(
             samples=n,
             stack_size=stack_size,
             interpret=interpret,
+            strat_spp=spp if stratify else None,
+            strat_offset=jnp.int32(done),
         )
         acc = part if acc is None else acc + part
         done += n
@@ -167,7 +181,10 @@ def make_frame_renderer_sharded(
     B_pad = -(-B // n_dev) * n_dev  # off-frame padding blocks trace air
     B_loc = B_pad // n_dev
 
-    def local_chunk(scene, sampler, key, samples: int):
+    def local_chunk(
+        scene, sampler, key, strat_offset, samples: int,
+        strat_spp: int | None,
+    ):
         d = jax.lax.axis_index(axis)
         rays9 = gen_rays9_blocks(
             sampler,
@@ -177,6 +194,8 @@ def make_frame_renderer_sharded(
             wc=wc,
             px_block=px_block,
             samples=samples,
+            strat_spp=strat_spp,
+            strat_offset=strat_offset,
         )
         kh = trace_scene(scene, rays9, stack_size=stack_size, interpret=interpret)
         return _shade_parity_sum(rays9, kh, samples)
@@ -185,26 +204,29 @@ def make_frame_renderer_sharded(
     # across passes so there is exactly one in practice.
     cache = {}
 
-    def chunk_fn(samples: int):
-        if samples not in cache:
-            cache[samples] = jax.jit(
+    def chunk_fn(samples: int, strat_spp: int | None):
+        if (samples, strat_spp) not in cache:
+            cache[(samples, strat_spp)] = jax.jit(
                 jax.shard_map(
-                    partial(local_chunk, samples=samples),
+                    partial(local_chunk, samples=samples, strat_spp=strat_spp),
                     mesh=mesh,
-                    in_specs=(P(), P(), P()),
+                    in_specs=(P(), P(), P(), P()),
                     out_specs=P(axis),
                     check_vma=False,
                 )
             )
-        return cache[samples]
+        return cache[(samples, strat_spp)]
 
-    def render(scene, sampler, key, spp: int) -> jnp.ndarray:
+    def render(scene, sampler, key, spp: int, stratify: bool = True) -> jnp.ndarray:
         acc = None
         done = 0
         chunk_id = 0
         while done < spp:
             n = min(samples_per_packet, spp - done)
-            part = chunk_fn(n)(scene, sampler, jax.random.fold_in(key, chunk_id))
+            part = chunk_fn(n, spp if stratify else None)(
+                scene, sampler, jax.random.fold_in(key, chunk_id),
+                jnp.int32(done),
+            )
             acc = part if acc is None else acc + part
             done += n
             chunk_id += 1
