@@ -61,6 +61,20 @@ def unpack_tile(values: jnp.ndarray, tile_shape, packet_shape) -> jnp.ndarray:
     return v.transpose(0, 2, 1, 3, 4).reshape(th, tw, c)
 
 
+def _film_strat(pix, spp: int, s_idx):
+    """Stratification tuple for :func:`sample_rays` on integer pixel
+    coordinates ``pix (..., 2)``: per-pixel id packs (y, x) into one i32
+    (frames up to 16384 px wide). The film jitter and lens sample then
+    tile per-pixel strata over the pass's ``spp`` — the BASELINE parity
+    config's "stratified pixel sampling"."""
+    from minipath_tpu.parallel.mesh import CAMERA_SALT
+
+    pid = (pix[..., 1].astype(jnp.int32) << 14) | (
+        pix[..., 0].astype(jnp.int32) & 0x3FFF
+    )
+    return (s_idx, pid, spp, CAMERA_SALT)
+
+
 @partial(
     jax.jit,
     static_argnames=("tile_shape", "packet_shape", "spp", "stack_size"),
@@ -85,7 +99,10 @@ def render_tile_sum_bvh(
     pix = tile_pixel_packets(tile_origin, tile_shape, packet_shape)  # (nb,P,2)
     nb, P = pix.shape[:2]
     keys = jax.random.split(key, spp)
-    rays = jax.vmap(lambda k: sample_rays(sampler, pix, k))(keys)
+    s_ids = jnp.arange(spp, dtype=jnp.int32)
+    rays = jax.vmap(
+        lambda k, s: sample_rays(sampler, pix, k, strat=_film_strat(pix, spp, s))
+    )(keys, s_ids)
     # (spp, nb, P, ...) -> fold samples into the packet batch dim.
     rays = jax.tree.map(lambda a: a.reshape((spp * nb,) + a.shape[2:]), rays)
     hits = intersect_bvh(bvh, rays, stack_size=stack_size)
@@ -112,7 +129,10 @@ def render_tile_sum_sphere(
     pix = tile_pixel_packets(tile_origin, tile_shape, packet_shape)
     nb, P = pix.shape[:2]
     keys = jax.random.split(key, spp)
-    rays = jax.vmap(lambda k: sample_rays(sampler, pix, k))(keys)
+    s_ids = jnp.arange(spp, dtype=jnp.int32)
+    rays = jax.vmap(
+        lambda k, s: sample_rays(sampler, pix, k, strat=_film_strat(pix, spp, s))
+    )(keys, s_ids)
     rays = jax.tree.map(lambda a: a.reshape((spp * nb,) + a.shape[2:]), rays)
     hits = sphere.intersect(rays)
     rgba = shade_normal_dot(rays, hits)
@@ -147,7 +167,8 @@ def render_tile_sum_bvh_pallas(
     pix = tile_pixel_packets(tile_origin, tile_shape, packet_shape)  # (nb,bp,2)
     nb, bp = pix.shape[:2]
     pix = jnp.tile(pix, (1, spp, 1))  # sample-major (nb, spp*bp, 2)
-    rays = sample_rays(sampler, pix, key)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, pix.shape[:2], 1) // bp
+    rays = sample_rays(sampler, pix, key, strat=_film_strat(pix, spp, s_idx))
     kh = trace_scene(scene, rays_to_rays9(rays), stack_size=stack_size)
     dot = jnp.abs(jnp.sum(rays.direction * kh.normal, axis=-1))
     hit = (kh.tri >= 0).astype(jnp.float32)
@@ -193,7 +214,10 @@ def render_tile_batch_bvh_pallas(
     pkt_keys = jax.vmap(
         lambda k: jax.vmap(lambda j: jax.random.fold_in(k, j))(jnp.arange(nb))
     )(keys).reshape(K * nb)
-    rays = jax.vmap(lambda p, k: sample_rays(sampler, p, k))(pix, pkt_keys)
+    s_row = jnp.arange(spp * bp, dtype=jnp.int32) // bp  # sample-major rows
+    rays = jax.vmap(
+        lambda p, k: sample_rays(sampler, p, k, strat=_film_strat(p, spp, s_row))
+    )(pix, pkt_keys)
     kh = trace_scene(scene, rays_to_rays9(rays), stack_size=stack_size)
     dot = jnp.abs(jnp.sum(rays.direction * kh.normal, axis=-1))
     hit = (kh.tri >= 0).astype(jnp.float32)
