@@ -298,7 +298,11 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             shadow_tracer=shadow_tracer,
             shadow_rr=not args.no_shadow_rr,
             stratify=not args.iid,
+            return_variance=args.denoise and args.spp >= 2,
         )
+    var_img = None
+    if isinstance(img, tuple):
+        img, var_img = img
     a = np.array(img, copy=True)
     elapsed = time.time() - t0
     rays = args.width * args.height * args.spp  # camera rays (bounces extra)
@@ -321,9 +325,13 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
         )
         if args.denoise:
             a[..., :3] = np.asarray(
-                atrous_denoise(jnp.asarray(a[..., :3]), n_img, z_img)
+                atrous_denoise(
+                    jnp.asarray(a[..., :3]), n_img, z_img,
+                    None if var_img is None else jnp.asarray(var_img),
+                )
             )
-            print("denoised (edge-avoiding a-trous)", file=sys.stderr)
+            kind = "variance-guided" if var_img is not None else "edge-avoiding"
+            print(f"denoised ({kind} a-trous)", file=sys.stderr)
         if args.aov:
             n_np = np.asarray(n_img)
             hit = np.any(n_np != 0.0, axis=-1)

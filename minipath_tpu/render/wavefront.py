@@ -638,6 +638,7 @@ def _compact(state: _PathState, fine_direction: bool = True) -> _PathState:
         "shadow_rr",
         "rr_start",
         "strat_spp",
+        "with_sumsq",
     ),
 )
 def _pt_chunk(
@@ -661,9 +662,11 @@ def _pt_chunk(
     rr_start: int = 3,
     strat_spp: int | None = None,
     strat_offset=0,
+    with_sumsq: bool = False,
 ):
     """Trace ``samples`` spp of camera paths; returns ``(B0, bp, 3)`` RGB
-    sums per packet-pixel (same layout as the parity frame renderer)."""
+    sums per packet-pixel (same layout as the parity frame renderer) —
+    plus the per-pixel luminance sum of squares when ``with_sumsq``."""
     rays9, _ = gen_frame_rays9(
         sampler, key, width=width, height=height, px_block=px_block,
         samples=samples, strat_spp=strat_spp, strat_offset=strat_offset,
@@ -674,6 +677,7 @@ def _pt_chunk(
         lights=lights, shadow_tracer=shadow_tracer, shadow_sort=shadow_sort,
         shadow_rr=shadow_rr, rr_start=rr_start,
         strat_spp=strat_spp, strat_offset=strat_offset,
+        with_sumsq=with_sumsq,
     )
 
 
@@ -1100,6 +1104,7 @@ def render_frame_pt(
     stratify: bool = True,
     strat_total: int | None = None,
     strat_offset: int = 0,
+    return_variance: bool = False,
 ) -> jnp.ndarray:
     """Path-traced frame: mean RGB + alpha=1, shape ``(H, W, 4)``.
 
@@ -1127,14 +1132,20 @@ def render_frame_pt(
     stratify over 64-pass rounds). Exactly unbiased at every completed
     round; mid-round the running mean over-weights the strata drawn so
     far, an error that vanishes as passes accumulate.
+    ``return_variance`` also returns the per-pixel variance OF THE MEAN
+    (luminance, ``(H, W)``) — the noise estimate the variance-guided
+    denoiser and diagnostics consume.
     """
     if env is None:
         env = Environment.sky()
     if (lights is None) != (shadow_tracer is None):
         raise ValueError("NEE needs both lights= and shadow_tracer=")
+    if return_variance and spp < 2:
+        raise ValueError("return_variance needs spp >= 2")
     bh, bw = px_block
     hc, wc = -(-height // bh), -(-width // bw)
     acc = None
+    acc_sq = None
     done = 0
     chunk = 0
     while done < spp:
@@ -1159,7 +1170,11 @@ def render_frame_pt(
             rr_start=rr_start,
             strat_spp=(strat_total or spp) if stratify else None,
             strat_offset=jnp.int32(strat_offset + done),
+            with_sumsq=return_variance,
         )
+        if return_variance:
+            part, part_sq = part
+            acc_sq = part_sq if acc_sq is None else acc_sq + part_sq
         acc = part if acc is None else acc + part
         done += n
         chunk += 1
@@ -1172,4 +1187,21 @@ def render_frame_pt(
     )[..., :3]
     rgb = rgb / spp
     alpha = jnp.ones_like(rgb[..., :1])
-    return jnp.concatenate([rgb, alpha], axis=-1)
+    img = jnp.concatenate([rgb, alpha], axis=-1)
+    if return_variance:
+        lum_sum = jnp.einsum(
+            "bpc,c->bp", acc, jnp.asarray([0.2126, 0.7152, 0.0722])
+        )
+        # Sample variance of per-sample luminance, over spp, divided by
+        # spp = the variance of the pixel's MEAN estimate.
+        var = jnp.maximum(
+            acc_sq - lum_sum * lum_sum / spp, 0.0
+        ) / ((spp - 1) * spp)
+        var_img = unpack_frame(
+            jnp.broadcast_to(
+                var[..., None], var.shape + (4,)
+            ),
+            width, height, (hc, wc), px_block,
+        )[..., 0]
+        return img, var_img
+    return img

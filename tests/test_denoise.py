@@ -93,6 +93,43 @@ class TestEndToEnd:
         # Biased smoothing, but the global mean must not drift.
         np.testing.assert_allclose(den.mean(), noisy.mean(), rtol=0.05)
 
+    def test_variance_guided(self, scene):
+        # Variance guidance makes the filter SAFE at any spp: the color
+        # tolerance scales with the pixel's measured noise, so converged
+        # pixels approach the identity. Checks both regimes: a clear win
+        # at 4 spp, and — the property the fixed-sigma filter lacks
+        # (measured: it REGRESSES a 32-spp frame) — no harm at 32 spp.
+        from minipath_tpu.render.wavefront import render_frame_pt
+
+        tracer, tstate, table, sampler, env = scene
+        ref = self._frame(scene, 96, seed=7)
+        n_img, z_img = render_aux(
+            tracer, tstate, sampler, jax.random.key(1),
+            width=64, height=64, px_block=(16, 16),
+        )
+
+        def run(spp, spp_chunk):
+            noisy, var = render_frame_pt(
+                tracer, tstate, table, sampler, jax.random.key(0),
+                width=64, height=64, spp=spp, bounces=3, env=env,
+                px_block=(16, 16), samples_per_packet=spp_chunk,
+                return_variance=True,
+            )
+            noisy, var = np.asarray(noisy)[..., :3], np.asarray(var)
+            assert var.shape == (64, 64) and (var >= 0).all()
+            den = np.asarray(atrous_denoise(
+                jnp.asarray(noisy), n_img, z_img, jnp.asarray(var)
+            ))
+            e_noisy = np.sqrt(np.mean((noisy - ref) ** 2))
+            e_den = np.sqrt(np.mean((den - ref) ** 2))
+            return e_noisy, e_den, noisy, den
+
+        e_noisy4, e_den4, noisy4, den4 = run(4, 4)
+        assert e_den4 < 0.65 * e_noisy4, (e_den4, e_noisy4)
+        np.testing.assert_allclose(den4.mean(), noisy4.mean(), rtol=0.05)
+        e_noisy32, e_den32, _, _ = run(32, 8)
+        assert e_den32 < e_noisy32, (e_den32, e_noisy32)
+
     def test_aux_buffers(self, scene):
         tracer, tstate, table, sampler, env = scene
         n_img, z_img = render_aux(
