@@ -170,6 +170,7 @@ class ProgressivePtController:
         self.resolution = tuple(resolution)
         w, h = self.resolution
         self._acc = np.zeros((h, w, 3), np.float64)
+        self._acc_sq = np.zeros((h, w), np.float64)  # per-pass luminance^2
         self._n = 0
         self._seen = 0
         self._gen = 0
@@ -195,6 +196,7 @@ class ProgressivePtController:
                 aux = self.make_aux(camera) if self.make_aux else None
                 with self._lock:
                     self._acc[:] = 0.0
+                    self._acc_sq[:] = 0.0
                     self._n = 0
                     self._aux = aux
             img = np.asarray(frame(i), np.float64)[..., :3]
@@ -203,6 +205,8 @@ class ProgressivePtController:
                 if self._gen != gen:
                     continue  # camera moved mid-frame; drop the result
                 self._acc += img
+                lum = img @ np.array([0.2126, 0.7152, 0.0722])
+                self._acc_sq += lum * lum
                 self._n += 1
 
     # -- controller protocol -----------------------------------------------------
@@ -229,23 +233,30 @@ class ProgressivePtController:
         with self._lock:
             if self._n == 0:
                 return np.zeros((h, w, 3), np.uint8)
-            mean = self._acc / self._n
+            acc = self._acc.copy()
+            mean = acc / self._n
             n, aux = self._n, self._aux
-        if aux is not None and n < 64:
-            # Display-side denoise while the accumulation is thin, fading
-            # to the raw (unbiased) mean as samples arrive.
+            acc_sq = self._acc_sq.copy()
+        if aux is not None:
+            # Display-side variance-guided denoise: the color tolerance
+            # scales with the measured cross-pass noise, so the filter
+            # tends to the identity as the accumulation converges — no
+            # hard fade needed, and the raw accumulator stays unbiased.
             import jax.numpy as jnp
 
             from minipath_tpu.render.denoise import atrous_denoise
 
-            den = np.asarray(
+            var = None
+            if n >= 2:
+                lum_sum = acc @ np.array([0.2126, 0.7152, 0.0722])
+                v = np.maximum(acc_sq - lum_sum * lum_sum / n, 0.0)
+                var = jnp.asarray(v / ((n - 1) * n), jnp.float32)
+            mean = np.asarray(
                 atrous_denoise(
-                    jnp.asarray(mean, jnp.float32), aux[0], aux[1]
+                    jnp.asarray(mean, jnp.float32), aux[0], aux[1], var
                 ),
                 np.float64,
             )
-            t = n / 64.0
-            mean = den * (1.0 - t) + mean * t
         srgb = np.clip(mean, 0.0, 1.0) ** (1.0 / 2.2)
         return (srgb * 255.0 + 0.5).astype(np.uint8)
 
