@@ -92,6 +92,72 @@ def test_budget_and_allocation(scene):
     assert spp_map.max() > spp_map.min()
 
 
+def test_adaptive_with_nee(scene):
+    # NEE composes with adaptive rounds (lights + shadow tracer thread
+    # through every chunk); mean agrees with the uniform NEE render.
+    import numpy as np
+
+    from minipath_tpu.render.wavefront import (
+        make_xla_shadow_tracer,
+        render_frame_pt,
+    )
+    from minipath_tpu.scene.materials import (
+        Environment,
+        build_light_table,
+        emissive,
+        lambertian,
+        material_table,
+    )
+    from minipath_tpu.scene.procedural import make_quad, merge_meshes
+    from minipath_tpu.scene.triangle_bvh import TriangleBvh
+    from minipath_tpu.camera import Camera
+
+    floor = make_quad(40.0)
+    p = floor.positions.copy()
+    floor.positions = np.stack([p[:, 0], p[:, 2], p[:, 1]], axis=-1)
+    panel = make_quad(6.0)
+    pp = panel.positions.copy()
+    panel.positions = np.stack(
+        [pp[:, 0], np.full_like(pp[:, 2], 8.0), pp[:, 1]], axis=-1
+    )
+    mesh = merge_meshes([floor, panel])
+    mats = np.concatenate([
+        np.zeros(len(floor.triangles), np.int32),
+        np.ones(len(panel.triangles), np.int32),
+    ])
+    table = material_table([
+        lambertian((0.6, 0.6, 0.6)), emissive((6.0, 6.0, 6.0)),
+    ])
+    obj = TriangleBvh.build(mesh, materials=mats)
+    lights = build_light_table(
+        obj.host_arrays.tri_packets, obj.host_arrays.tri_material, table
+    )
+    shadow, _ = make_xla_shadow_tracer(
+        obj.arrays, stack_size=obj.recommended_stack_size, packet_size=256
+    )
+    from minipath_tpu.render.wavefront import make_xla_tracer
+
+    tracer, tstate = make_xla_tracer(
+        obj.arrays, stack_size=obj.recommended_stack_size, packet_size=256
+    )
+    cam = Camera().look_at((0, 6, 14), (0, 0, 0)).f_number(32.0)
+    sampler = cam.build_sampler((32, 32))
+    env = Environment.uniform((0.0, 0.0, 0.0))
+    kw = dict(
+        width=32, height=32, bounces=3, env=env, px_block=(16, 16),
+        lights=lights, shadow_tracer=shadow,
+    )
+    a = np.asarray(render_frame_pt(
+        tracer, tstate, table, sampler, jax.random.key(0),
+        spp=16, samples_per_packet=8, **kw,
+    ))[..., :3]
+    b = np.asarray(render_frame_pt_adaptive(
+        tracer, tstate, table, sampler, jax.random.key(1),
+        spp=18, pilot_spp=2, samples_per_packet=8, **kw,
+    ))[..., :3]
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.06)
+
+
 def test_budget_too_small_raises(scene):
     tracer, tstate, table, sampler, env = scene
     with pytest.raises(ValueError):
