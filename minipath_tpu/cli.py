@@ -237,6 +237,16 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             shadow_tracer = None
     t0 = time.time()
     if mesh is not None:
+        if args.adaptive:
+            print(
+                "--adaptive is single-device only; rendering uniform spp "
+                "across the mesh", file=sys.stderr,
+            )
+        if args.denoise:
+            print(
+                "--denoise on the sharded renderer uses the fixed-sigma "
+                "filter (no variance buffer)", file=sys.stderr,
+            )
         from minipath_tpu.render.wavefront import make_pt_renderer_sharded
 
         renderer = make_pt_renderer_sharded(
@@ -261,6 +271,11 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             env=Environment.sky(),
         )
     elif args.adaptive:
+        if args.denoise:
+            print(
+                "--denoise with --adaptive uses the fixed-sigma filter "
+                "(no variance buffer)", file=sys.stderr,
+            )
         from minipath_tpu.render.adaptive import render_frame_pt_adaptive
 
         img = render_frame_pt_adaptive(
@@ -338,9 +353,9 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             n_vis = np.where(hit[..., None], n_np * 0.5 + 0.5, 0.0)
             save_png(
                 f"{args.aov}_normal.png",
-                (np.concatenate(
+                color_to_image(np.concatenate(
                     [n_vis, hit[..., None].astype(np.float64)], -1
-                ) * 255 + 0.5).astype(np.uint8),
+                )),
             )
             z_np = np.asarray(z_img)
             z_hit = z_np[hit] if hit.any() else np.array([0.0, 1.0])
@@ -352,9 +367,9 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             z_rgba = np.repeat(z_vis[..., None], 3, axis=-1)
             save_png(
                 f"{args.aov}_depth.png",
-                (np.concatenate(
+                color_to_image(np.concatenate(
                     [z_rgba, np.ones_like(z_vis)[..., None]], -1
-                ) * 255 + 0.5).astype(np.uint8),
+                )),
             )
             print(f"saved {args.aov}_normal.png, {args.aov}_depth.png",
                   file=sys.stderr)

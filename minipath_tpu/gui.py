@@ -161,9 +161,10 @@ class ProgressivePtController:
         # make_frame(camera) -> callable(chunk_index) -> (H, W, >=3) float
         # linear-RGB mean image for that chunk (one compiled spp chunk).
         # make_aux(camera) -> (normal (H, W, 3), depth (H, W)) guide
-        # buffers; when given, early passes are displayed through the
-        # edge-avoiding a-trous denoiser, fading to the raw accumulation
-        # as samples arrive (display-only — the accumulator is untouched).
+        # buffers; when given, the displayed mean goes through the
+        # variance-guided a-trous denoiser (cross-pass noise sets the
+        # color tolerance, so the filter self-limits as the accumulation
+        # converges; display-only — the accumulator is untouched).
         self.make_frame = make_frame
         self.make_aux = make_aux
         self.camera = camera
@@ -175,6 +176,7 @@ class ProgressivePtController:
         self._seen = 0
         self._gen = 0
         self._aux = None
+        self._display_cache = None  # (gen, n, uint8 image)
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -205,7 +207,9 @@ class ProgressivePtController:
                 if self._gen != gen:
                     continue  # camera moved mid-frame; drop the result
                 self._acc += img
-                lum = img @ np.array([0.2126, 0.7152, 0.0722])
+                from minipath_tpu.utils import LUMA_WEIGHTS
+
+                lum = img @ LUMA_WEIGHTS
                 self._acc_sq += lum * lum
                 self._n += 1
 
@@ -233,6 +237,10 @@ class ProgressivePtController:
         with self._lock:
             if self._n == 0:
                 return np.zeros((h, w, 3), np.uint8)
+            cache = self._display_cache
+            if cache is not None and cache[0] == self._gen and cache[1] == self._n:
+                return cache[2]  # no new samples since the last display
+            gen = self._gen
             acc = self._acc.copy()
             mean = acc / self._n
             n, aux = self._n, self._aux
@@ -248,7 +256,9 @@ class ProgressivePtController:
 
             var = None
             if n >= 2:
-                lum_sum = acc @ np.array([0.2126, 0.7152, 0.0722])
+                from minipath_tpu.utils import LUMA_WEIGHTS
+
+                lum_sum = acc @ LUMA_WEIGHTS
                 v = np.maximum(acc_sq - lum_sum * lum_sum / n, 0.0)
                 var = jnp.asarray(v / ((n - 1) * n), jnp.float32)
             mean = np.asarray(
@@ -258,7 +268,10 @@ class ProgressivePtController:
                 np.float64,
             )
         srgb = np.clip(mean, 0.0, 1.0) ** (1.0 / 2.2)
-        return (srgb * 255.0 + 0.5).astype(np.uint8)
+        out = (srgb * 255.0 + 0.5).astype(np.uint8)
+        with self._lock:
+            self._display_cache = (gen, n, out)
+        return out
 
     def shutdown(self):
         self._stop.set()
@@ -405,13 +418,16 @@ def _make_pt_controller(args, bvh, camera, material_dicts):
         def frame(i):
             # Strata tile across accumulation passes in 64-pass rounds:
             # the spp-1 viewport passes then converge like a 64-way
-            # stratified render instead of iid frames.
+            # stratified render instead of iid frames. The pairing seed
+            # is per ROUND (shared by the 64 passes of one window, fresh
+            # for the next — render/stratify.py).
             return np.asarray(render_frame_pt(
                 tracer, tstate, table, sampler,
                 jax.random.key(i),
                 width=w, height=h, spp=1, bounces=5,
                 px_block=(16, 16), samples_per_packet=1,
                 strat_total=64, strat_offset=i % 64,
+                strat_seed=(i // 64) * 0x9E37 + 17,
             ))
 
         return frame

@@ -123,6 +123,7 @@ def gen_rays9_blocks(
     samples: int = 4,
     strat_spp: int | None = None,
     strat_offset=0,
+    strat_seed=0,
     block_ids=None,
 ):
     """Multi-sample packet rays for ``block_count`` pixel blocks starting at
@@ -133,7 +134,11 @@ def gen_rays9_blocks(
     ``strat_spp`` (static) enables per-pixel stratified film/lens sampling
     over the pixel's TOTAL spp; ``strat_offset`` (traced) is this chunk's
     first global sample index, so stratification spans chunk boundaries
-    when spp exceeds the per-packet sample count.
+    when spp exceeds the per-packet sample count. ``strat_seed`` (traced,
+    from :func:`minipath_tpu.render.stratify.render_seed` on the RENDER
+    key) re-randomizes the stratum pairings per render — required for
+    unbiasedness (see render/stratify.py) — and must be identical for
+    every chunk of one stratum window.
 
     ``block_ids`` (``(block_count,)`` i32, traced) overrides the contiguous
     range with an explicit per-packet block index — the adaptive sampler
@@ -167,7 +172,7 @@ def gen_rays9_blocks(
             jnp.int32, (block_count, P), 1
         ) // bp
         pid = (by * bh + py) * (wc * bw) + (bx * bw + px)  # global pixel id
-        pid = jnp.tile(pid, (1, samples))
+        pid = jnp.tile(pid, (1, samples)) ^ jnp.int32(strat_seed)
         strat = (s_idx, pid, strat_spp, CAMERA_SALT)
     rays = sample_rays(sampler, pix, key, strat=strat)
     return rays_to_rays9(rays)
@@ -192,13 +197,15 @@ def gen_frame_rays9(
     samples: int = 4,
     strat_spp: int | None = None,
     strat_offset=0,
+    strat_seed=0,
 ):
     """Generate the whole frame's multi-sample packet rays in-jit.
 
     Pixel coordinates are computed from iota (no multi-hundred-MB host
     constant arrays), then jittered/lens-sampled and packed to the kernel's
     ``(B, 9, P//128, 128)`` layout. Returns ``(rays9, packet_counts)``.
-    ``strat_spp``/``strat_offset`` as in :func:`gen_rays9_blocks`.
+    ``strat_spp``/``strat_offset``/``strat_seed`` as in
+    :func:`gen_rays9_blocks`.
     """
     bh, bw = px_block
     hp, wp = _round_up(height, bh), _round_up(width, bw)
@@ -213,6 +220,7 @@ def gen_frame_rays9(
         samples=samples,
         strat_spp=strat_spp,
         strat_offset=strat_offset,
+        strat_seed=strat_seed,
     )
     return rays9, (hc, wc)
 

@@ -70,10 +70,17 @@ def _chunk_blocks(
 ):
     """One adaptive round: ``samples`` spp for the first ``live_rays`` rays
     of the packets listed in ``block_ids`` (allocation order)."""
+    from minipath_tpu.render.stratify import render_seed
+
+    # Each adaptive round tiles a complete per-chunk stratum window, so a
+    # per-chunk pairing seed is correct (and averages pairings across
+    # rounds — render/stratify.py).
+    seed = render_seed(key)
     rays9 = gen_rays9_blocks(
         sampler, key, jnp.int32(0),
         block_count=block_count, wc=wc, px_block=px_block, samples=samples,
         strat_spp=samples if stratify else None,
+        strat_seed=seed,
         block_ids=block_ids,
     )
     return _pt_trace(
@@ -81,7 +88,7 @@ def _chunk_blocks(
         tracer=tracer, samples=samples, bounces=bounces,
         compaction=compaction, lights=lights, shadow_tracer=shadow_tracer,
         shadow_rr=shadow_rr, rr_start=rr_start,
-        strat_spp=samples if stratify else None,
+        strat_spp=samples if stratify else None, strat_seed=seed,
         live_rays=live_rays, with_sumsq=with_sumsq,
     )
 
@@ -146,9 +153,9 @@ def render_frame_pt_adaptive(
         jax.random.fold_in(key, 0), ident, all_rays, lights,
         samples=pilot_spp, with_sumsq=True, **kw,
     )
-    lum = jnp.einsum(
-        "bpc,c->bp", psum, jnp.asarray([0.2126, 0.7152, 0.0722])
-    )
+    from minipath_tpu.utils import LUMA_WEIGHTS
+
+    lum = jnp.einsum("bpc,c->bp", psum, jnp.asarray(LUMA_WEIGHTS))
     var_px = (psumsq - lum * lum / pilot_spp) / max(pilot_spp - 1, 1)
     sigma_b = np.asarray(
         jnp.mean(jnp.sqrt(jnp.maximum(var_px, 0.0)), axis=1)

@@ -107,8 +107,12 @@ def atrous_denoise(
     depth = depth.astype(jnp.float32)
     rgb = rgb.astype(jnp.float32)
     normal = normal.astype(jnp.float32)
+    # Sanitize non-finite depths (callers passing inf/NaN for misses):
+    # replace with the finite max so the depth weight stays well-defined.
+    finite = jnp.isfinite(depth)
+    z_hi = jnp.max(jnp.where(finite, depth, -jnp.inf))
+    depth = jnp.where(finite, depth, z_hi)
     z_lo = jnp.min(depth)
-    z_hi = jnp.max(jnp.where(jnp.isfinite(depth), depth, z_lo))
     z_scale = jnp.maximum(z_hi - z_lo, 1e-6)
     miss = jnp.all(normal == 0.0, axis=-1)
     n_eff = normal  # miss pixels carry a zero normal (handled explicitly)

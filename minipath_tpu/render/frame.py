@@ -80,12 +80,14 @@ def _render_chunk(
     interpret: bool = False,
     strat_spp: int | None = None,
     strat_offset=0,
+    strat_seed=0,
 ):
     """One chunk: ``samples`` spp for every pixel. Returns ``(B, bp, 4)``
     RGBA sums over the chunk's samples (bp = pixels per packet)."""
     rays9, _counts = gen_frame_rays9(
         sampler, key, width=width, height=height, px_block=px_block,
         samples=samples, strat_spp=strat_spp, strat_offset=strat_offset,
+        strat_seed=strat_seed,
     )
     kh = trace_scene(scene, rays9, stack_size=stack_size, interpret=interpret)
     return _shade_parity_sum(rays9, kh, samples)
@@ -116,6 +118,9 @@ def render_frame_pallas(
     """
     if scene is None:
         scene = prepare_scene(bvh)
+    from minipath_tpu.render.stratify import render_seed
+
+    seed = render_seed(key)  # one pairing seed per render (stratify.py)
     bh, bw = px_block
     hc = -(-height // bh)
     wc = -(-width // bw)
@@ -138,6 +143,7 @@ def render_frame_pallas(
             interpret=interpret,
             strat_spp=spp if stratify else None,
             strat_offset=jnp.int32(done),
+            strat_seed=seed,
         )
         acc = part if acc is None else acc + part
         done += n
@@ -182,7 +188,7 @@ def make_frame_renderer_sharded(
     B_loc = B_pad // n_dev
 
     def local_chunk(
-        scene, sampler, key, strat_offset, samples: int,
+        scene, sampler, key, strat_offset, strat_seed, samples: int,
         strat_spp: int | None,
     ):
         d = jax.lax.axis_index(axis)
@@ -196,6 +202,7 @@ def make_frame_renderer_sharded(
             samples=samples,
             strat_spp=strat_spp,
             strat_offset=strat_offset,
+            strat_seed=strat_seed,
         )
         kh = trace_scene(scene, rays9, stack_size=stack_size, interpret=interpret)
         return _shade_parity_sum(rays9, kh, samples)
@@ -210,7 +217,7 @@ def make_frame_renderer_sharded(
                 jax.shard_map(
                     partial(local_chunk, samples=samples, strat_spp=strat_spp),
                     mesh=mesh,
-                    in_specs=(P(), P(), P(), P()),
+                    in_specs=(P(), P(), P(), P(), P()),
                     out_specs=P(axis),
                     check_vma=False,
                 )
@@ -218,6 +225,9 @@ def make_frame_renderer_sharded(
         return cache[(samples, strat_spp)]
 
     def render(scene, sampler, key, spp: int, stratify: bool = True) -> jnp.ndarray:
+        from minipath_tpu.render.stratify import render_seed
+
+        seed = render_seed(key)
         acc = None
         done = 0
         chunk_id = 0
@@ -225,7 +235,7 @@ def make_frame_renderer_sharded(
             n = min(samples_per_packet, spp - done)
             part = chunk_fn(n, spp if stratify else None)(
                 scene, sampler, jax.random.fold_in(key, chunk_id),
-                jnp.int32(done),
+                jnp.int32(done), seed,
             )
             acc = part if acc is None else acc + part
             done += n

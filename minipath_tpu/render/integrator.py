@@ -61,18 +61,20 @@ def unpack_tile(values: jnp.ndarray, tile_shape, packet_shape) -> jnp.ndarray:
     return v.transpose(0, 2, 1, 3, 4).reshape(th, tw, c)
 
 
-def _film_strat(pix, spp: int, s_idx):
+def _film_strat(pix, spp: int, s_idx, key):
     """Stratification tuple for :func:`sample_rays` on integer pixel
     coordinates ``pix (..., 2)``: per-pixel id packs (y, x) into one i32
-    (frames up to 16384 px wide). The film jitter and lens sample then
-    tile per-pixel strata over the pass's ``spp`` — the BASELINE parity
-    config's "stratified pixel sampling"."""
+    (frames up to 16384 px wide), XORed with a key-derived seed so the
+    stratum pairings re-randomize per pass (render/stratify.py). The film
+    jitter and lens sample then tile per-pixel strata over the pass's
+    ``spp`` — the BASELINE parity config's "stratified pixel sampling"."""
     from minipath_tpu.parallel.mesh import CAMERA_SALT
+    from minipath_tpu.render.stratify import render_seed
 
     pid = (pix[..., 1].astype(jnp.int32) << 14) | (
         pix[..., 0].astype(jnp.int32) & 0x3FFF
     )
-    return (s_idx, pid, spp, CAMERA_SALT)
+    return (s_idx, pid ^ render_seed(key), spp, CAMERA_SALT)
 
 
 @partial(
@@ -101,7 +103,9 @@ def render_tile_sum_bvh(
     keys = jax.random.split(key, spp)
     s_ids = jnp.arange(spp, dtype=jnp.int32)
     rays = jax.vmap(
-        lambda k, s: sample_rays(sampler, pix, k, strat=_film_strat(pix, spp, s))
+        lambda k, s: sample_rays(
+            sampler, pix, k, strat=_film_strat(pix, spp, s, key)
+        )
     )(keys, s_ids)
     # (spp, nb, P, ...) -> fold samples into the packet batch dim.
     rays = jax.tree.map(lambda a: a.reshape((spp * nb,) + a.shape[2:]), rays)
@@ -131,7 +135,9 @@ def render_tile_sum_sphere(
     keys = jax.random.split(key, spp)
     s_ids = jnp.arange(spp, dtype=jnp.int32)
     rays = jax.vmap(
-        lambda k, s: sample_rays(sampler, pix, k, strat=_film_strat(pix, spp, s))
+        lambda k, s: sample_rays(
+            sampler, pix, k, strat=_film_strat(pix, spp, s, key)
+        )
     )(keys, s_ids)
     rays = jax.tree.map(lambda a: a.reshape((spp * nb,) + a.shape[2:]), rays)
     hits = sphere.intersect(rays)
@@ -168,7 +174,9 @@ def render_tile_sum_bvh_pallas(
     nb, bp = pix.shape[:2]
     pix = jnp.tile(pix, (1, spp, 1))  # sample-major (nb, spp*bp, 2)
     s_idx = jax.lax.broadcasted_iota(jnp.int32, pix.shape[:2], 1) // bp
-    rays = sample_rays(sampler, pix, key, strat=_film_strat(pix, spp, s_idx))
+    rays = sample_rays(
+        sampler, pix, key, strat=_film_strat(pix, spp, s_idx, key)
+    )
     kh = trace_scene(scene, rays_to_rays9(rays), stack_size=stack_size)
     dot = jnp.abs(jnp.sum(rays.direction * kh.normal, axis=-1))
     hit = (kh.tri >= 0).astype(jnp.float32)
@@ -216,7 +224,9 @@ def render_tile_batch_bvh_pallas(
     )(keys).reshape(K * nb)
     s_row = jnp.arange(spp * bp, dtype=jnp.int32) // bp  # sample-major rows
     rays = jax.vmap(
-        lambda p, k: sample_rays(sampler, p, k, strat=_film_strat(p, spp, s_row))
+        lambda p, k: sample_rays(
+            sampler, p, k, strat=_film_strat(p, spp, s_row, key)
+        )
     )(pix, pkt_keys)
     kh = trace_scene(scene, rays_to_rays9(rays), stack_size=stack_size)
     dot = jnp.abs(jnp.sum(rays.direction * kh.normal, axis=-1))

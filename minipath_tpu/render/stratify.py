@@ -15,9 +15,22 @@ the between-strata variance term).
 every dimension pair would pair stratum ``s`` with stratum ``s`` — the
 joint samples would collapse onto a diagonal, which is worse than iid.
 A cyclic shift is a bijection on ``[0, spp)``, so the per-pixel tiling
-property (and hence unbiasedness) is preserved, while different pixels /
-dimensions get decorrelated stratum pairings — the classic
-"padded / shuffled jittered sampling" construction.
+property is preserved, while different pixels / dimensions get
+decorrelated stratum pairings — the classic "padded / shuffled jittered
+sampling" construction.
+
+The shift hash MUST mix in a per-render seed (callers fold one out of
+the render key into ``pid``). With a seed-independent shift, the pairing
+between two dimension GROUPS (say film-x and light-u) is one fixed
+diagonal of their joint stratum lattice per pixel: the pixel's
+expectation becomes the average over that diagonal's cells rather than
+the full lattice — a frozen per-pixel bias for non-separable integrands
+(toy check: spp=2, f(x,y)=xy estimates 5/16 or 3/16 against a true
+4/16) that re-rendering cannot average away. Randomizing the shift per
+render makes the pairing a uniformly random cyclic offset, whose
+expectation over seeds covers every lattice cell equally — the classic
+randomized-LHS unbiasedness argument — while each single render keeps
+the full per-dimension tiling (variance benefit intact).
 
 All helpers are shape-preserving and run on ``[0, 1)`` uniforms that the
 caller already drew, so enabling stratification costs a handful of VPU
@@ -30,7 +43,7 @@ import math
 
 import jax.numpy as jnp
 
-__all__ = ["grid_factor", "hash_shift", "strat1d", "strat2d"]
+__all__ = ["grid_factor", "hash_shift", "render_seed", "strat1d", "strat2d"]
 
 _GOLDEN = 0x9E3779B9  # Weyl increment, decorrelates dimension salts
 
@@ -55,6 +68,22 @@ def grid_factor(spp: int) -> tuple[int, int]:
     while spp % gy:
         gy -= 1
     return spp // gy, gy
+
+
+def render_seed(key) -> jnp.ndarray:
+    """Per-render i32 the caller XORs into ``pid`` before stratifying.
+
+    Derived from the render's base PRNG key (BEFORE any per-chunk /
+    per-device folds, so one stratum window shares one seed) — this is
+    what re-randomizes the cross-dimension stratum pairings between
+    renders; see the module docstring for why that is required for
+    unbiasedness.
+    """
+    import jax
+
+    return jax.random.bits(
+        jax.random.fold_in(key, 0x51A7), (), jnp.uint32
+    ).astype(jnp.int32)
 
 
 def hash_shift(pid: jnp.ndarray, spp: int, salt: int) -> jnp.ndarray:

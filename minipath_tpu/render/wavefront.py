@@ -31,7 +31,7 @@ from minipath_tpu.render.pallas_kernels import (
     trace_packets_pallas_pt,
     trace_scene,
 )
-from minipath_tpu.render.stratify import strat1d, strat2d
+from minipath_tpu.render.stratify import render_seed, strat1d, strat2d
 from minipath_tpu.scene.materials import (
     DIELECTRIC,
     EMISSIVE,
@@ -56,13 +56,22 @@ def _normalize(v):
     return v * jax.lax.rsqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-30))
 
 
+def _unit_vector_from_uniforms(u_z, u_phi):
+    """Uniform sphere directions from two [0, 1) uniforms — the shared
+    body of :func:`_sample_unit_vector` and scatter_full's stratified
+    sphere sample."""
+    z = -1.0 + 2.0 * u_z
+    phi = 2.0 * np.pi * u_phi
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
 def _sample_unit_vector(key, shape):
     """Uniform directions on the sphere, shape ``(..., 3)``."""
     k1, k2 = jax.random.split(key)
-    z = jax.random.uniform(k1, shape, minval=-1.0, maxval=1.0)
-    phi = jax.random.uniform(k2, shape, minval=0.0, maxval=2.0 * np.pi)
-    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+    return _unit_vector_from_uniforms(
+        jax.random.uniform(k1, shape), jax.random.uniform(k2, shape)
+    )
 
 
 def _reflect(d, n):
@@ -158,10 +167,7 @@ def scatter_full(
     if strat is not None:
         s_idx, pid, spp, salt = strat
         u_z, u_phi = strat2d(u_z, u_phi, s_idx, pid, spp, salt + 0)
-    z = -1.0 + 2.0 * u_z
-    phi_s = 2.0 * np.pi * u_phi
-    r_s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-    unit = jnp.stack([r_s * jnp.cos(phi_s), r_s * jnp.sin(phi_s), z], axis=-1)
+    unit = _unit_vector_from_uniforms(u_z, u_phi)
     lam_dir = _normalize(nf + unit)
     # Guard the degenerate case (unit vector ~ -nf).
     lam_bad = jnp.sum(lam_dir * nf, axis=-1, keepdims=True) <= 1e-6
@@ -662,6 +668,7 @@ def _pt_chunk(
     rr_start: int = 3,
     strat_spp: int | None = None,
     strat_offset=0,
+    strat_seed=0,
     with_sumsq: bool = False,
 ):
     """Trace ``samples`` spp of camera paths; returns ``(B0, bp, 3)`` RGB
@@ -670,13 +677,14 @@ def _pt_chunk(
     rays9, _ = gen_frame_rays9(
         sampler, key, width=width, height=height, px_block=px_block,
         samples=samples, strat_spp=strat_spp, strat_offset=strat_offset,
+        strat_seed=strat_seed,
     )
     return _pt_trace(
         tracer_state, materials, env, rays9, key,
         tracer=tracer, samples=samples, bounces=bounces, compaction=compaction,
         lights=lights, shadow_tracer=shadow_tracer, shadow_sort=shadow_sort,
         shadow_rr=shadow_rr, rr_start=rr_start,
-        strat_spp=strat_spp, strat_offset=strat_offset,
+        strat_spp=strat_spp, strat_offset=strat_offset, strat_seed=strat_seed,
         with_sumsq=with_sumsq,
     )
 
@@ -699,6 +707,7 @@ def _pt_trace(
     rr_start: int = 3,
     strat_spp: int | None = None,
     strat_offset=0,
+    strat_seed=0,
     live_rays=None,
     with_sumsq: bool = False,
 ):
@@ -772,7 +781,9 @@ def _pt_trace(
             bp0 = P0 // samples
             within = state.pixel % P0
             s_idx = strat_offset + within // bp0
-            pid_s = (state.pixel // P0) * bp0 + within % bp0
+            pid_s = (
+                (state.pixel // P0) * bp0 + within % bp0
+            ) ^ jnp.int32(strat_seed)
             strat_b = (s_idx, pid_s, strat_spp, 8 * bounce)
             strat_nee = (s_idx, pid_s, strat_spp, 8 * bounce + 4)
         new_dir, atten, emitted, terminate, bsdf_pdf, diffuse = scatter_full(
@@ -972,9 +983,9 @@ def _pt_trace(
     per_sample = rad.reshape(B0, samples, bp, 3)
     out = per_sample.sum(axis=1)
     if with_sumsq:
-        lum = jnp.einsum(
-            "bspc,c->bsp", per_sample, jnp.asarray([0.2126, 0.7152, 0.0722])
-        )
+        from minipath_tpu.utils import LUMA_WEIGHTS
+
+        lum = jnp.einsum("bspc,c->bsp", per_sample, jnp.asarray(LUMA_WEIGHTS))
         return out, (lum * lum).sum(axis=1)
     return out
 
@@ -1019,7 +1030,7 @@ def make_pt_renderer_sharded(
 
     def local_chunk(
         tracer_state, materials, env, sampler, key, lights_arg, strat_offset,
-        samples: int, strat_spp: int | None,
+        strat_seed, samples: int, strat_spp: int | None,
     ):
         d = jax.lax.axis_index(axis)
         key = jax.random.fold_in(key, d)
@@ -1029,6 +1040,7 @@ def make_pt_renderer_sharded(
             sampler, key, d * B_loc,
             block_count=B_loc, wc=wc, px_block=px_block, samples=samples,
             strat_spp=strat_spp, strat_offset=strat_offset,
+            strat_seed=strat_seed,
         )
         return _pt_trace(
             tracer_state, materials, env, rays9, key,
@@ -1037,6 +1049,7 @@ def make_pt_renderer_sharded(
             lights=lights_arg, shadow_tracer=shadow_tracer,
             shadow_rr=shadow_rr, rr_start=rr_start,
             strat_spp=strat_spp, strat_offset=strat_offset,
+            strat_seed=strat_seed,
         )
 
     cache = {}
@@ -1047,7 +1060,7 @@ def make_pt_renderer_sharded(
                 jax.shard_map(
                     partial(local_chunk, samples=samples, strat_spp=strat_spp),
                     mesh=mesh,
-                    in_specs=(P(), P(), P(), P(), P(), P(), P()),
+                    in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
                     out_specs=P(axis),
                     check_vma=False,
                 )
@@ -1057,6 +1070,7 @@ def make_pt_renderer_sharded(
     def render(tracer_state, materials, sampler, key, spp: int, env=None):
         if env is None:
             env = Environment.sky()
+        seed = render_seed(key)
         acc = None
         done = 0
         chunk = 0
@@ -1065,7 +1079,7 @@ def make_pt_renderer_sharded(
             part = chunk_fn(n, spp if stratify else None)(
                 tracer_state, materials, env, sampler,
                 jax.random.fold_in(key, 1000 + chunk), lights,
-                jnp.int32(done),
+                jnp.int32(done), seed,
             )
             acc = part if acc is None else acc + part
             done += n
@@ -1104,6 +1118,7 @@ def render_frame_pt(
     stratify: bool = True,
     strat_total: int | None = None,
     strat_offset: int = 0,
+    strat_seed=None,
     return_variance: bool = False,
 ) -> jnp.ndarray:
     """Path-traced frame: mean RGB + alpha=1, shape ``(H, W, 4)``.
@@ -1142,6 +1157,11 @@ def render_frame_pt(
         raise ValueError("NEE needs both lights= and shadow_tracer=")
     if return_variance and spp < 2:
         raise ValueError("return_variance needs spp >= 2")
+    if strat_seed is None:
+        # One pairing seed per render, shared by every chunk of the
+        # stratum window (render/stratify.py: required for unbiasedness).
+        strat_seed = render_seed(key)
+    strat_seed = jnp.int32(strat_seed)
     bh, bw = px_block
     hc, wc = -(-height // bh), -(-width // bw)
     acc = None
@@ -1170,6 +1190,7 @@ def render_frame_pt(
             rr_start=rr_start,
             strat_spp=(strat_total or spp) if stratify else None,
             strat_offset=jnp.int32(strat_offset + done),
+            strat_seed=strat_seed,
             with_sumsq=return_variance,
         )
         if return_variance:
@@ -1189,9 +1210,9 @@ def render_frame_pt(
     alpha = jnp.ones_like(rgb[..., :1])
     img = jnp.concatenate([rgb, alpha], axis=-1)
     if return_variance:
-        lum_sum = jnp.einsum(
-            "bpc,c->bp", acc, jnp.asarray([0.2126, 0.7152, 0.0722])
-        )
+        from minipath_tpu.utils import LUMA_WEIGHTS
+
+        lum_sum = jnp.einsum("bpc,c->bp", acc, jnp.asarray(LUMA_WEIGHTS))
         # Sample variance of per-sample luminance, over spp, divided by
         # spp = the variance of the pixel's MEAN estimate.
         var = jnp.maximum(

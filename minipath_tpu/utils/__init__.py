@@ -21,3 +21,10 @@ def bit_iter(mask: int):
 
 
 __all__ = ["PhaseTimers", "Stats", "bit_iter", "color_to_image", "save_png"]
+
+
+# Rec. 709 luminance weights — the single definition every module (pilot
+# allocation, variance buffers, GUI display) shares.
+import numpy as _np
+
+LUMA_WEIGHTS = _np.array([0.2126, 0.7152, 0.0722], _np.float32)

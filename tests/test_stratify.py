@@ -61,6 +61,31 @@ class TestTiling:
         for col in cells.T:
             assert sorted(col.tolist()) == list(range(spp))
 
+    def test_pairing_randomizes_with_seed(self):
+        # Cross-dimension stratum pairings form a cyclic diagonal per
+        # pixel; with a FIXED pairing the estimator of a non-separable
+        # integrand is biased (spp=2, f=xy -> 5/16 or 3/16 vs true 4/16).
+        # Mixing a per-render seed into pid (the render_seed contract)
+        # must (a) change the pairing across seeds and (b) make the
+        # seed-averaged estimate converge to the true mean.
+        spp = 2
+        pid0 = jnp.int32(12345)
+        rng = np.random.default_rng(0)
+        estimates = []
+        for seed in range(200):
+            pid = pid0 ^ jnp.int32(seed * 0x9E3779B9 & 0x7FFFFFFF)
+            s = jnp.arange(spp, dtype=jnp.int32)
+            u1 = jnp.asarray(rng.random(spp), jnp.float32)
+            u2 = jnp.asarray(rng.random(spp), jnp.float32)
+            x = strat1d(u1, s, pid, spp, salt=1)
+            y = strat1d(u2, s, pid, spp, salt=2)
+            estimates.append(float(jnp.mean(x * y)))
+        mean = np.mean(estimates)
+        # Both diagonals occur across seeds (pairing actually varies)...
+        assert np.std(estimates) > 0.02
+        # ...and their average is the unbiased product mean.
+        np.testing.assert_allclose(mean, 0.25, atol=0.01)
+
     def test_shift_varies_by_pixel_and_salt(self):
         # The hashed cyclic shift must decorrelate pixels and dimensions:
         # the stratum sample 0 lands in should not be constant.
