@@ -4,11 +4,20 @@ A small pilot pass estimates per-packet noise; the remaining budget is
 allocated across pixel-block packets proportional to the pilot's standard
 deviation (the classic optimal allocation: minimizing the frame's total
 variance under a fixed sample budget puts ``n_b`` proportional to
-``sigma_b``). The pilot is EXCLUDED from the image, so the allocation is
-independent of the samples that form the estimate — every pixel's final
-mean is an unweighted average of iid samples whose count was chosen by an
-independent coin, i.e. exactly unbiased (the cheap trick that sidesteps
-the classic adaptive-sampling bias).
+``sigma_b``).
+
+Unbiasedness without wasting the pilot: the final pixel value combines
+the pilot mean ``m1`` and the adaptive-round mean ``m2`` with FIXED
+convex weights ``w1 = pilot/spp, w2 = 1 - w1`` (the budgeted shares, not
+the realized counts). The adaptive rounds' samples are fresh, so
+``E[m2 | allocation] = mu`` for ANY data-dependent allocation, and fixed
+weights keep ``E[w1 m1 + w2 m2] = mu`` exactly — the correlation between
+allocation and pilot values never enters (count-proportional weighting,
+the thing naive adaptive samplers do, is what creates the classic bias).
+The price is slightly suboptimal weighting on packets whose realized
+count differs a lot from the budget share; the win is that no samples
+are discarded, so on spatially-uniform-noise scenes adaptive degrades
+to uniform sampling instead of paying the pilot as pure overhead.
 
 TPU shape: allocation happens at PACKET granularity, and rendering rounds
 reuse one compiled program — packets are laid out in allocation order via
@@ -146,8 +155,8 @@ def render_frame_pt_adaptive(
     ident = jnp.arange(B, dtype=jnp.int32)
     all_rays = jnp.int32(B * bp * pilot_spp)
 
-    # Pilot: estimates sigma per packet; excluded from the image so the
-    # allocation stays independent of the estimate (unbiasedness).
+    # Pilot: estimates sigma per packet (and contributes to the image via
+    # the fixed-weight combination — see the module docstring).
     psum, psumsq = _chunk_blocks(
         tracer_state, materials, env, sampler,
         jax.random.fold_in(key, 0), ident, all_rays, lights,
@@ -192,7 +201,12 @@ def render_frame_pt_adaptive(
         acc = acc.at[order_dev[:n_r]].add(part[:n_r])
         counts[order[:n_r]] += samples_per_packet
 
-    mean = acc / jnp.asarray(counts, jnp.float32)[:, None, None]
+    # Fixed-weight convex combination of the pilot mean and the
+    # adaptive-round mean (budgeted shares — unbiased for any allocation).
+    w1 = pilot_spp / spp
+    m1 = psum / pilot_spp
+    m2 = acc / jnp.asarray(counts, jnp.float32)[:, None, None]
+    mean = w1 * m1 + (1.0 - w1) * m2
     rgba = jnp.concatenate([mean, jnp.ones_like(mean[..., :1])], -1)
     img = unpack_frame(rgba, width, height, (hc, wc), px_block)
     if return_spp_map:

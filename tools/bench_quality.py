@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Estimator-quality artifact: stratification, adaptive sampling, denoise.
+
+Equal-sample-count RMSE comparisons are hardware-independent (the same
+JAX program produces the same estimator statistics on CPU and TPU), so
+this artifact can be (re)generated anywhere. It measures, on the atrium
+interior-GI scene (the PT benchmark workload, scaled down):
+
+* iid vs stratified RMSE at matched spp (the stratification MSE gain),
+* uniform vs adaptive RMSE at matched average-spp budgets,
+* noisy vs denoised RMSE at low AND moderate spp (the variance-guided
+  filter's no-harm property at higher spp).
+
+Writes QUALITY.json at the repo root.
+
+Usage: JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python tools/bench_quality.py
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from minipath_tpu.camera import Camera
+from minipath_tpu.render.adaptive import render_frame_pt_adaptive
+from minipath_tpu.render.denoise import atrous_denoise, render_aux
+from minipath_tpu.render.wavefront import make_xla_tracer, render_frame_pt
+from minipath_tpu.scene.bvh import native
+from minipath_tpu.scene.bvh.build import build_bvh
+from minipath_tpu.scene.materials import Environment, material_table
+from minipath_tpu.scene.procedural import atrium_materials, make_atrium
+from minipath_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+W, H, BOUNCES = 160, 90, 5
+
+
+def rmse(a, b):
+    return float(np.sqrt(np.mean((np.asarray(a, np.float64) -
+                                  np.asarray(b, np.float64)) ** 2)))
+
+
+def main():
+    mesh = make_atrium(60_000)
+    mats, dicts = atrium_materials(mesh)
+    table = material_table(dicts)
+    if native.is_available():
+        res = native.build_bvh_native(mesh, materials=mats, leaf_max=24)
+    else:
+        res = build_bvh(mesh, materials=mats, leaf_max=24)
+    arrays = jax.tree.map(jnp.asarray, res.arrays)  # device-resident
+    tracer, tstate = make_xla_tracer(
+        arrays, stack_size=res.recommended_stack_size, packet_size=256
+    )
+    cam = (
+        Camera()
+        .look_at((-16.0, 4.0, 0.0), (10.0, 3.0, 0.5))
+        .f_number(8.0)
+        .sensor_width(36e-3)
+    )
+    sampler = cam.build_sampler((W, H))
+    kw = dict(
+        width=W, height=H, bounces=BOUNCES, env=Environment.sky(),
+        px_block=(16, 16),
+    )
+
+    def frame(seed, spp, stratify=True, variance=False):
+        return render_frame_pt(
+            tracer, tstate, table, sampler, jax.random.key(seed),
+            spp=spp, samples_per_packet=min(8, spp), stratify=stratify,
+            return_variance=variance, **kw,
+        )
+
+    print("reference (256 spp stratified)...", flush=True)
+    ref = np.asarray(frame(999, 256))[..., :3]
+
+    out = {
+        "workload": f"atrium interior GI {W}x{H}, {BOUNCES} bounces, "
+                    "XLA tracer (estimator statistics are "
+                    "hardware-independent)",
+        "reference_spp": 256,
+    }
+
+    # 1. Stratification gain at matched spp.
+    strat = []
+    for spp in (8, 32):
+        r_iid = np.mean([
+            rmse(np.asarray(frame(20 + i, spp, stratify=False))[..., :3], ref)
+            for i in range(3)
+        ])
+        r_st = np.mean([
+            rmse(np.asarray(frame(20 + i, spp))[..., :3], ref)
+            for i in range(3)
+        ])
+        strat.append({
+            "spp": spp, "rmse_iid": round(float(r_iid), 5),
+            "rmse_stratified": round(float(r_st), 5),
+            "mse_reduction": round(float((r_iid / r_st) ** 2), 3),
+        })
+        print(f"strat spp={spp}: iid {r_iid:.5f} vs {r_st:.5f} "
+              f"(MSE x{strat[-1]['mse_reduction']})", flush=True)
+    out["stratification"] = strat
+
+    # 2. Adaptive vs uniform at matched average budget.
+    adap = []
+    for budget in (10, 18, 34):
+        r_uni = np.mean([
+            rmse(np.asarray(frame(30 + i, budget))[..., :3], ref)
+            for i in range(3)
+        ])
+        r_ada = np.mean([
+            rmse(np.asarray(render_frame_pt_adaptive(
+                tracer, tstate, table, sampler, jax.random.key(30 + i),
+                spp=budget, pilot_spp=2, samples_per_packet=8, **kw,
+            ))[..., :3], ref)
+            for i in range(3)
+        ])
+        adap.append({
+            "avg_spp": budget, "rmse_uniform": round(float(r_uni), 5),
+            "rmse_adaptive": round(float(r_ada), 5),
+            "mse_ratio_uniform_over_adaptive": round(
+                float((r_uni / r_ada) ** 2), 3
+            ),
+        })
+        print(f"adaptive budget={budget}: uniform {r_uni:.5f} vs "
+              f"adaptive {r_ada:.5f}", flush=True)
+    out["adaptive"] = adap
+
+    # 3. Variance-guided denoiser: gain at 4 spp, no harm at 32 spp.
+    n_img, z_img = render_aux(
+        tracer, tstate, sampler, jax.random.key(1), width=W, height=H,
+        px_block=(16, 16),
+    )
+    den = []
+    for spp in (4, 32):
+        img, var = frame(40, spp, variance=True)
+        noisy = np.asarray(img)[..., :3]
+        filtered = np.asarray(atrous_denoise(
+            jnp.asarray(noisy), n_img, z_img, var
+        ))
+        den.append({
+            "spp": spp, "rmse_noisy": round(rmse(noisy, ref), 5),
+            "rmse_denoised": round(rmse(filtered, ref), 5),
+        })
+        print(f"denoise spp={spp}: noisy {den[-1]['rmse_noisy']} -> "
+              f"{den[-1]['rmse_denoised']}", flush=True)
+    out["denoise_variance_guided"] = den
+
+    with open(os.path.join(REPO, "QUALITY.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)
