@@ -45,7 +45,86 @@ def rmse(a, b):
                                   np.asarray(b, np.float64)) ** 2)))
 
 
+def sphere_adaptive_section():
+    """Adaptive-vs-uniform on a CONCENTRATED-noise scene (glossy ball on a
+    diffuse floor under a smooth sky): most packets see near-zero variance,
+    so the allocator can actually move budget. Appends to QUALITY.json."""
+    from minipath_tpu.scene.materials import lambertian, metal
+    from minipath_tpu.scene.procedural import (
+        make_quad,
+        make_uv_sphere,
+        merge_meshes,
+    )
+    from minipath_tpu.scene.triangle_bvh import TriangleBvh
+
+    sph = make_uv_sphere(1.0, rings=12, segments=20)
+    sph.positions[:, 1] += 1.0
+    floor = make_quad(30.0)
+    p = floor.positions.copy()
+    floor.positions = np.stack([p[:, 0], p[:, 2], p[:, 1]], axis=-1)
+    mesh = merge_meshes([sph, floor])
+    mats = np.concatenate([
+        np.zeros(len(sph.triangles), np.int32),
+        np.ones(len(floor.triangles), np.int32),
+    ])
+    table = material_table([
+        metal((0.9, 0.7, 0.4), fuzz=0.4),
+        lambertian((0.5, 0.55, 0.6)),
+    ])
+    obj = TriangleBvh.build(mesh, materials=mats)
+    tracer, tstate = make_xla_tracer(
+        obj.arrays, stack_size=obj.recommended_stack_size, packet_size=256
+    )
+    cam = Camera().look_at((0, 2.2, 6), (0, 1.0, 0)).f_number(32.0)
+    sampler = cam.build_sampler((128, 96))
+    kw = dict(
+        width=128, height=96, bounces=3, env=Environment.sky(),
+        px_block=(16, 16),
+    )
+
+    def uni(seed, spp):
+        return np.asarray(render_frame_pt(
+            tracer, tstate, table, sampler, jax.random.key(seed),
+            spp=spp, samples_per_packet=min(8, spp), **kw,
+        ))[..., :3]
+
+    print("sphere scene reference (192 spp)...", flush=True)
+    ref = uni(999, 192)
+    rows = []
+    for budget in (10, 18):
+        r_uni = np.mean([rmse(uni(30 + i, budget), ref) for i in range(3)])
+        r_ada = np.mean([
+            rmse(np.asarray(render_frame_pt_adaptive(
+                tracer, tstate, table, sampler, jax.random.key(30 + i),
+                spp=budget, pilot_spp=2, samples_per_packet=8, **kw,
+            ))[..., :3], ref)
+            for i in range(3)
+        ])
+        rows.append({
+            "avg_spp": budget, "rmse_uniform": round(float(r_uni), 5),
+            "rmse_adaptive": round(float(r_ada), 5),
+            "mse_ratio_uniform_over_adaptive": round(
+                float((r_uni / r_ada) ** 2), 3
+            ),
+        })
+        print(f"sphere adaptive budget={budget}: uniform {r_uni:.5f} vs "
+              f"adaptive {r_ada:.5f}", flush=True)
+    path = os.path.join(REPO, "QUALITY.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data["adaptive_concentrated_noise"] = {
+        "workload": "glossy ball + diffuse floor 128x96, 3 bounces, "
+                    "reference 192 spp",
+        "rows": rows,
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
+    print("appended adaptive_concentrated_noise", flush=True)
+
+
 def main():
+    if "--sphere-only" in sys.argv:
+        return sphere_adaptive_section()
+    adaptive_only = "--atrium-adaptive-only" in sys.argv
     mesh = make_atrium(60_000)
     mats, dicts = atrium_materials(mesh)
     table = material_table(dicts)
@@ -85,10 +164,14 @@ def main():
                     "hardware-independent)",
         "reference_spp": 256,
     }
+    if adaptive_only:
+        prev = os.path.join(REPO, "QUALITY.json")
+        if os.path.exists(prev):
+            out = json.load(open(prev))
 
     # 1. Stratification gain at matched spp.
     strat = []
-    for spp in (8, 32):
+    for spp in () if adaptive_only else (8, 32):
         r_iid = np.mean([
             rmse(np.asarray(frame(20 + i, spp, stratify=False))[..., :3], ref)
             for i in range(3)
@@ -104,7 +187,8 @@ def main():
         })
         print(f"strat spp={spp}: iid {r_iid:.5f} vs {r_st:.5f} "
               f"(MSE x{strat[-1]['mse_reduction']})", flush=True)
-    out["stratification"] = strat
+    if not adaptive_only:
+        out["stratification"] = strat
 
     # 2. Adaptive vs uniform at matched average budget.
     adap = []
@@ -132,6 +216,11 @@ def main():
     out["adaptive"] = adap
 
     # 3. Variance-guided denoiser: gain at 4 spp, no harm at 32 spp.
+    if adaptive_only:
+        with open(os.path.join(REPO, "QUALITY.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps(out["adaptive"], indent=2), flush=True)
+        return
     n_img, z_img = render_aux(
         tracer, tstate, sampler, jax.random.key(1), width=W, height=H,
         px_block=(16, 16),
