@@ -57,6 +57,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--denoise", action="store_true", help="path tracer: edge-avoiding a-trous filter guided by first-hit normals/depth (biased post-process; the saved PNG only)")
     p.add_argument("--aov", metavar="PREFIX", default=None, help="path tracer: also write first-hit AOVs <PREFIX>_normal.png and <PREFIX>_depth.png")
     p.add_argument("--adaptive", action="store_true", help="path tracer: adaptive sampling — a 2-spp pilot allocates the --spp budget toward noisy packets (unbiased; single-device)")
+    p.add_argument("--clamp", type=float, default=None, metavar="L", help="path tracer: cap each sample's radiance at L before averaging (firefly suppression; biased)")
     return p
 
 
@@ -314,6 +315,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             shadow_rr=not args.no_shadow_rr,
             stratify=not args.iid,
             return_variance=args.denoise and args.spp >= 2,
+            clamp=args.clamp,
         )
     var_img = None
     if isinstance(img, tuple):

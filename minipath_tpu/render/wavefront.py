@@ -645,6 +645,7 @@ def _compact(state: _PathState, fine_direction: bool = True) -> _PathState:
         "rr_start",
         "strat_spp",
         "with_sumsq",
+        "clamp",
     ),
 )
 def _pt_chunk(
@@ -670,6 +671,7 @@ def _pt_chunk(
     strat_offset=0,
     strat_seed=0,
     with_sumsq: bool = False,
+    clamp: float | None = None,
 ):
     """Trace ``samples`` spp of camera paths; returns ``(B0, bp, 3)`` RGB
     sums per packet-pixel (same layout as the parity frame renderer) —
@@ -685,7 +687,7 @@ def _pt_chunk(
         lights=lights, shadow_tracer=shadow_tracer, shadow_sort=shadow_sort,
         shadow_rr=shadow_rr, rr_start=rr_start,
         strat_spp=strat_spp, strat_offset=strat_offset, strat_seed=strat_seed,
-        with_sumsq=with_sumsq,
+        with_sumsq=with_sumsq, clamp=clamp,
     )
 
 
@@ -710,6 +712,7 @@ def _pt_trace(
     strat_seed=0,
     live_rays=None,
     with_sumsq: bool = False,
+    clamp: float | None = None,
 ):
     """The bounce loop for an arbitrary camera-ray batch ``rays9``
     (whole frame or one device's shard). Returns ``(B0, bp, 3)`` sums.
@@ -981,6 +984,11 @@ def _pt_trace(
     rad = rad.reshape(B0, P0, 3)
     bp = P0 // samples
     per_sample = rad.reshape(B0, samples, bp, 3)
+    if clamp is not None:
+        # Firefly clamp: cap each SAMPLE's radiance before averaging — a
+        # standard production variance control (biased: dims speckles
+        # brighter than ``clamp``). Opt-in only.
+        per_sample = jnp.minimum(per_sample, clamp)
     out = per_sample.sum(axis=1)
     if with_sumsq:
         from minipath_tpu.utils import LUMA_WEIGHTS
@@ -1120,6 +1128,7 @@ def render_frame_pt(
     strat_offset: int = 0,
     strat_seed=None,
     return_variance: bool = False,
+    clamp: float | None = None,
 ) -> jnp.ndarray:
     """Path-traced frame: mean RGB + alpha=1, shape ``(H, W, 4)``.
 
@@ -1192,6 +1201,7 @@ def render_frame_pt(
             strat_offset=jnp.int32(strat_offset + done),
             strat_seed=strat_seed,
             with_sumsq=return_variance,
+            clamp=clamp,
         )
         if return_variance:
             part, part_sq = part

@@ -634,3 +634,24 @@ def test_pt_render_is_seed_deterministic():
         px_block=(16, 16), samples_per_packet=2,
     ))
     assert np.abs(a - c).max() > 0
+
+
+def test_firefly_clamp_caps_samples():
+    # clamp= caps each sample's radiance before averaging: with a clamp
+    # below the scene's radiance ceiling the mean must drop below the
+    # unclamped mean, and no pixel may exceed the clamp value.
+    obj, table = _floor_scene(lambertian((0.7, 0.7, 0.7)))
+    sampler = _down_camera().build_sampler((16, 16))
+    tr, tr_state = _tracer(obj)
+    kw = dict(
+        width=16, height=16, spp=8, bounces=2, env=Environment.sky(),
+        px_block=(16, 16), samples_per_packet=8,
+    )
+    a = np.asarray(render_frame_pt(
+        tr, tr_state, table, sampler, jax.random.key(5), **kw,
+    ))[..., :3]
+    b = np.asarray(render_frame_pt(
+        tr, tr_state, table, sampler, jax.random.key(5), clamp=0.25, **kw,
+    ))[..., :3]
+    assert b.max() <= 0.25 + 1e-6
+    assert b.mean() < a.mean()
