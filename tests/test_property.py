@@ -260,3 +260,60 @@ class TestMorton:
         # Injective: distinct cells map to distinct codes.
         uniq_cells = len(set(map(tuple, np.asarray(cells).tolist())))
         assert len(set(codes.tolist())) == uniq_cells
+
+
+class TestStratification:
+    """Tiling invariants of the stratified-sampling layer
+    (render/stratify.py) under arbitrary spp, pixel ids, and pairing
+    seeds — the properties the unbiasedness argument rests on."""
+
+    @_SETTINGS
+    @given(
+        spp=st.integers(min_value=1, max_value=64),
+        pid=st.integers(min_value=0, max_value=(1 << 31) - 1),
+        seed=st.integers(min_value=0, max_value=(1 << 31) - 1),
+        salt=st.integers(min_value=0, max_value=1 << 13),
+    )
+    def test_strat1d_tiles_any_window(self, spp, pid, seed, salt):
+        import jax
+        import jax.numpy as jnp
+
+        from minipath_tpu.render.stratify import strat1d
+
+        s = jnp.arange(spp, dtype=jnp.int32)
+        u = jax.random.uniform(jax.random.key(seed), (spp,))
+        vals = np.asarray(
+            strat1d(u, s, jnp.int32(pid ^ seed), spp, salt=salt)
+        )
+        assert (vals >= 0.0).all() and (vals < 1.0).all()
+        strata = sorted(np.floor(vals * spp).astype(int).tolist())
+        assert strata == list(range(spp))
+
+    @_SETTINGS
+    @given(
+        spp=st.integers(min_value=1, max_value=36),
+        pid=st.integers(min_value=0, max_value=(1 << 31) - 1),
+        seed=st.integers(min_value=0, max_value=(1 << 31) - 1),
+        salt=st.integers(min_value=0, max_value=1 << 13),
+    )
+    def test_strat2d_tiles_any_grid(self, spp, pid, seed, salt):
+        import jax
+        import jax.numpy as jnp
+
+        from minipath_tpu.render.stratify import grid_factor, strat2d
+
+        gx, gy = grid_factor(spp)
+        assert gx * gy == spp and gx >= gy >= 1
+        s = jnp.arange(spp, dtype=jnp.int32)
+        k1, k2 = jax.random.split(jax.random.key(seed))
+        u1 = jax.random.uniform(k1, (spp,))
+        u2 = jax.random.uniform(k2, (spp,))
+        v1, v2 = strat2d(u1, u2, s, jnp.int32(pid ^ seed), spp, salt=salt)
+        v1, v2 = np.asarray(v1), np.asarray(v2)
+        assert (v1 >= 0).all() and (v1 < 1).all()
+        assert (v2 >= 0).all() and (v2 < 1).all()
+        cells = sorted(
+            (np.floor(v1 * gx).astype(int) * gy
+             + np.floor(v2 * gy).astype(int)).tolist()
+        )
+        assert cells == list(range(spp))
