@@ -39,6 +39,41 @@ def test_cli_pt_render(tmp_path):
     assert img[..., :3].mean() > 10  # sky-lit scene is bright
 
 
+def test_cli_pt_extras(tmp_path):
+    # The production extras compose: denoise (variance-guided), AOVs,
+    # and the firefly clamp, all through main() on a tiny frame.
+    out = tmp_path / "pt_extra.png"
+    rc = main([
+        "--integrator", "pt", "--scene", "sphere-mesh",
+        "--width", "48", "--height", "32",
+        "--spp", "2", "--bounces", "2", "--no-stats", "--quiet",
+        "--denoise", "--clamp", "4.0", "--aov", str(tmp_path / "aov"),
+        "--output", str(out),
+    ])
+    assert rc == 0
+    img = load_png(out)
+    assert img.shape == (32, 48, 4) and np.isfinite(img).all()
+    n = load_png(tmp_path / "aov_normal.png")
+    z = load_png(tmp_path / "aov_depth.png")
+    assert n.shape == (32, 48, 4) and z.shape == (32, 48, 4)
+    assert (n[..., 3] > 0).any() and not (n[..., 3] > 0).all()
+
+
+def test_cli_adaptive(tmp_path):
+    out = tmp_path / "pt_adaptive.png"
+    rc = main([
+        "--integrator", "pt", "--scene", "sphere-mesh",
+        "--width", "48", "--height", "32",
+        "--spp", "10", "--bounces", "2", "--no-stats", "--quiet",
+        "--adaptive",
+        "--output", str(out),
+    ])
+    assert rc == 0
+    img = load_png(out)
+    assert img.shape == (32, 48, 4) and np.isfinite(img).all()
+    assert img[..., :3].mean() > 10
+
+
 def test_cli_bad_obj_errors(tmp_path):
     from minipath_tpu.scene.obj_loader import ObjOpenError
 
