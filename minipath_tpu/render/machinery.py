@@ -276,8 +276,20 @@ def render(
     def finalize_u8(acc):
         # Mean + u8 conversion on device: fetching u8 quarters the
         # device->host bytes (the tunnel roundtrip dominates small batches).
+        # The parity integrator is grayscale (R=G=B — worker.rs:51-65), so
+        # only (value, alpha) cross the wire: 2 bytes/px instead of 4,
+        # halving the fetch that bounds the criterion workload
+        # (BENCH_teapot phase timers). Hosts expand back to RGBA on write.
         mean = acc / spp_effective
-        return jnp.clip(jnp.round(mean * 255.0), 0.0, 255.0).astype(jnp.uint8)
+        u8 = jnp.clip(jnp.round(mean * 255.0), 0.0, 255.0).astype(jnp.uint8)
+        return u8[..., jnp.array([0, 3])]
+
+    def expand_va(va: np.ndarray) -> np.ndarray:
+        """(…, 2) u8 value+alpha wire format -> (…, 4) RGBA u8."""
+        out = np.empty(va.shape[:-1] + (4,), np.uint8)
+        out[..., 0:3] = va[..., 0:1]
+        out[..., 3] = va[..., 1]
+        return out
 
     def compute_batch(batch_start):
         batch = tiles[batch_start : batch_start + tiles_per_dispatch]
@@ -304,7 +316,7 @@ def render(
 
     def write_batch(batch, acc_u8, origins=None):
         with state.timers.phase("fetch"):
-            tiles_u8 = np.asarray(acc_u8)  # single u8 fetch per batch
+            tiles_u8 = expand_va(np.asarray(acc_u8))  # single 2-ch fetch
         for tile, tile_img in zip(batch, tiles_u8):
             x0, y0 = int(tile.min[0]), int(tile.min[1])
             x1, y1 = int(tile.max[0]), int(tile.max[1])
@@ -324,7 +336,7 @@ def render(
     # frame ONCE — the tunnel roundtrips per batch disappear.
     if frame_mode:
         th, tw = tile_shape
-        state.frame_dev = jnp.zeros((height + th, width + tw, 4), jnp.uint8)
+        state.frame_dev = jnp.zeros((height + th, width + tw, 2), jnp.uint8)
 
         @jax.jit
         def place_tiles(frame, tiles_u8, origins_xy):
@@ -341,7 +353,7 @@ def render(
             if frame is None:
                 return
             with state.timers.phase("fetch"):
-                full = np.asarray(frame)
+                full = expand_va(np.asarray(frame))
             with state.image_lock:
                 state.image[:, :] = full[:height, :width]
 
