@@ -883,6 +883,27 @@ def _pt_trace(
                 skey = (_direction_bin(wi) << 12) | _morton16(cell)
             elif shadow_sort == "light":
                 skey = (light_i.astype(jnp.int32) << 12) | _morton16(cell)
+            elif shadow_sort == "fromlight":
+                # MEASURED DEAD END (kept so tuning doesn't re-explore):
+                # trace the segment from the LIGHT end (flipped at launch
+                # below; occlusion of an interval is direction-symmetric).
+                # The hope: a packet then shares a near-point origin (one
+                # emitter) and a cone of directions — pinhole-primary
+                # geometry, which the kernel traverses ~10x faster than
+                # surface-scattered packets. Measured on the atrium NEE
+                # frame (tools/sweep_pt13.py, 960x540@8spp): 6.92 s vs
+                # "pos" 6.69 s, identical estimator mean. The emitters are
+                # large area panels, so flipped origins spread across the
+                # whole panel and the "pinhole" never materializes, while
+                # the far endpoints (the receiving surfaces) diverge worse
+                # than the pos-sorted forward segments. Key: emitter major,
+                # 28-degree bin of the flipped direction, Morton cell of
+                # the surface endpoint as the finer refinement.
+                skey = (
+                    (jnp.minimum(light_i.astype(jnp.int32), 255) << 19)
+                    | (_direction_bin(-wi) << 12)
+                    | _morton16(cell)
+                )
             else:  # "pos": position-major for light-converging segments
                 skey = (_morton16(cell) << 7) | _direction_bin(wi)
             skey = (((~cand).astype(jnp.int32)) << 27) | skey
@@ -905,12 +926,15 @@ def _pt_trace(
             cand_s = iota < n_cand
             # Park the (now-suffix) non-candidate lanes far outside the
             # scene so partial boundary packets miss at the root.
-            sh_o_eff = jnp.where(
-                cand_s[..., None], jnp.stack(sorted_ops[2:5], axis=-1), 1e9
-            )
-            seg_eff = jnp.where(
-                cand_s[..., None], jnp.stack(sorted_ops[5:8], axis=-1), 1.0
-            )
+            o_sorted = jnp.stack(sorted_ops[2:5], axis=-1)
+            s_sorted = jnp.stack(sorted_ops[5:8], axis=-1)
+            if shadow_sort == "fromlight":
+                # Launch the reversed interval: origin at the (pulled-back)
+                # light point, segment toward the surface. Same [0, 1-eps]
+                # parametric range, same blocker set, same result bit.
+                o_sorted, s_sorted = o_sorted + s_sorted, -s_sorted
+            sh_o_eff = jnp.where(cand_s[..., None], o_sorted, 1e9)
+            seg_eff = jnp.where(cand_s[..., None], s_sorted, 1.0)
             occ_s = shadow_tracer(tracer_state, sh_o_eff, seg_eff, n_cand)
             occluded = jnp.zeros_like(occ_s).at[order].set(occ_s)
             # BSDF value x cos and BSDF pdf toward the light, per lobe:

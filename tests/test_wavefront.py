@@ -347,6 +347,66 @@ class TestNee:
             a[..., :3].mean(), b[..., :3].mean(), rtol=0.12
         )
 
+    def test_shadow_sort_modes_agree(self):
+        # The shadow_sort knob only reorders the occlusion batch (and
+        # "fromlight" traces each segment reversed) — the estimator is
+        # unchanged, so all modes must produce the same image for the
+        # same key. A blocker quad between floor and panel makes real
+        # occlusion part of what must agree.
+        from minipath_tpu.scene.procedural import merge_meshes
+
+        floor = make_quad(100.0)
+        pos = floor.positions.copy()
+        floor.positions = np.stack([pos[:, 0], pos[:, 2], pos[:, 1]], axis=-1)
+        panel = make_quad(20.0)
+        ppos = panel.positions.copy()
+        panel.positions = np.stack(
+            [ppos[:, 0], np.full_like(ppos[:, 2], 8.0), ppos[:, 1]], axis=-1
+        )
+        blocker = make_quad(4.0)
+        bpos = blocker.positions.copy()
+        blocker.positions = np.stack(
+            [bpos[:, 0] + 2.0, np.full_like(bpos[:, 2], 4.0), bpos[:, 1]],
+            axis=-1,
+        )
+        mesh = merge_meshes([floor, blocker, panel])
+        mats = np.zeros(mesh.triangle_count, np.int32)
+        mats[floor.triangle_count + blocker.triangle_count:] = 1
+        obj = TriangleBvh.build(mesh, materials=mats)
+        table = material_table(
+            [lambertian((0.6, 0.6, 0.6)), emissive((1.0, 1.0, 1.0), 2.0)]
+        )
+        lights, shadow = _nee_bits(obj, table)
+        # The blocker really occludes: straight-up segments from under it
+        # are blocked, segments from open floor are not.
+        n = 256  # the tracer's packet size
+        o = np.tile(np.array([2.0, 0.1, 0.0], np.float32), (n, 1))
+        o[n // 2:] = [-20.0, 0.1, 0.0]
+        seg = np.tile(np.array([0.0, 7.8, 0.0], np.float32), (n, 1))
+        occ = np.asarray(shadow(obj.arrays, jnp.asarray(o), jnp.asarray(seg)))
+        assert occ[: n // 2].all() and not occ[n // 2:].any()
+
+        sampler = _down_camera().build_sampler((16, 16))
+        tr, tr_state = _tracer(obj)
+        kw = dict(
+            width=16, height=16, spp=8, bounces=2, env=Environment.none(),
+            px_block=(16, 16), samples_per_packet=8,
+            lights=lights, shadow_tracer=shadow,
+        )
+        imgs = {
+            mode: np.asarray(render_frame_pt(
+                tr, tr_state, table, sampler, jax.random.key(7),
+                shadow_sort=mode, **kw,
+            ))
+            for mode in ("pos", "dir", "light", "fromlight")
+        }
+        assert imgs["pos"][..., :3].mean() > 0.01
+        for mode in ("dir", "light", "fromlight"):
+            np.testing.assert_allclose(
+                imgs[mode], imgs["pos"], atol=1e-5,
+                err_msg=f"shadow_sort={mode} diverged from pos",
+            )
+
     def test_nee_reduces_variance(self):
         # With a SMALL light, BSDF sampling rarely finds it; NEE turns the
         # same mean into a far lower-variance estimate.
