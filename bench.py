@@ -457,6 +457,13 @@ def main() -> int:
         "big_scene": big,
         "pt": pt,
     }
+    from minipath_tpu.utils.calibrate import device_health
+
+    # The tunnel TPU's VPU throughput drifts between sessions (measured
+    # ~7x on 2026-08-18, same binary; see utils/calibrate.py). The probe
+    # makes round-over-round artifact deltas attributable.
+    extra["device_health"] = device_health()
+    log(f"  device health: {extra['device_health']}")
     with open(os.path.join(REPO, "BENCH_extra.json"), "w") as f:
         json.dump(extra, f, indent=2)
     log("wrote BENCH_extra.json")

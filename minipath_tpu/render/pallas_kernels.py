@@ -1124,6 +1124,12 @@ def trace_packets_pallas_q(
 #   what the kernel visits today. Remaining wins must trace fewer rays
 #   (roulette, compaction) — not traverse smarter. The seed= hook stays:
 #   it is exact (tested) and the right primitive for future anyhit reuse.
+# * bf16 slab test (tools/microbench_vpu_bf16.py): the VPU retires a
+#   register-resident bf16 min/max/mul chain at 0.62x the f32 rate
+#   (1738 vs 2804 Gop/s — bf16 is a storage format; the ALU unpacks it),
+#   so a conservative bf16 box layout would make traversal SLOWER, not
+#   2x cheaper. Halving box bytes only pays on the memory side, which
+#   the u16 quantized layout already covers at higher density.
 
 
 class PTScene(NamedTuple):

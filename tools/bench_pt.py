@@ -171,6 +171,9 @@ def main():
         # bounce budget grows.
         "nee_note": "delta vs wavefront = extra final-vertex direct light, not bias",
     }
+    from minipath_tpu.utils.calibrate import device_health
+
+    out["device_health"] = device_health()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "BENCH_pt.json"), "w") as f:
         json.dump(out, f, indent=2)
