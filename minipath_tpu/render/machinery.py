@@ -18,6 +18,7 @@ from __future__ import annotations
 import threading
 import time
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 import jax
@@ -34,6 +35,63 @@ from minipath_tpu.utils.profiling import PhaseTimers
 
 # Pixel-block shape of one traversal packet (coherent rays). 16x16 = 256 rays.
 PACKET_SHAPE = (16, 16)
+
+
+# The small device programs around the integrator live at MODULE level:
+# a fresh ``@jax.jit`` closure inside every ``render()`` call would miss
+# jit's function-identity cache and recompile per render — measured 13 s
+# of pure recompile per frame through the remote-TPU tunnel on the
+# criterion teapot (vs 39 ms dispatch once hoisted). Interactive callers
+# (the GUI re-renders on every navigation) pay this on every frame.
+
+
+@partial(jax.jit, static_argnames=("spp",))
+def _finalize_u8(acc, *, spp: int):
+    # Mean + u8 conversion on device: fetching u8 quarters the
+    # device->host bytes (the tunnel roundtrip dominates small batches).
+    # Stays RGBA (…, 4): a trailing dim of 4 packs each pixel into one
+    # 32-bit word, which is what keeps the frame-mode tile scatter fast
+    # (measured: dispatch 54 ms RGBA, ~2.3 s channel-major (2, …), 7 s
+    # trailing (…, 2) u8). The wire slimming happens in _repack_va at
+    # the fetch boundary instead.
+    mean = acc / spp
+    return jnp.clip(jnp.round(mean * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+
+@jax.jit
+def _repack_va(rgba_u8):
+    # The parity integrator is grayscale (R=G=B — worker.rs:51-65), so
+    # only (value, alpha) cross the wire: 2 bytes/px instead of 4,
+    # halving the fetch that bounds the criterion workload (BENCH_teapot
+    # phase timers). Bitcasting (…, 4) u8 -> (…) u32 and masking keeps
+    # this elementwise on the VPU — no u8 gather/scatter with a short
+    # minor dim (the layouts that measured 40-130x slower above).
+    # Channel-major (2, …) output so the minor dim stays wide.
+    words = jax.lax.bitcast_convert_type(rgba_u8, jnp.uint32)
+    value = (words & 0xFF).astype(jnp.uint8)  # R = byte 0 (LSB)
+    alpha = (words >> 24).astype(jnp.uint8)  # A = byte 3 (MSB)
+    return jnp.stack([value, alpha], axis=0)
+
+
+@partial(jax.jit, static_argnames=("th", "tw"))
+def _place_tiles(frame, tiles_u8, origins_xy, *, th: int, tw: int):
+    # One scatter for the whole batch (an unrolled dynamic_update_slice
+    # per tile would explode compile time at frame-mode batch sizes).
+    # Duplicate padded tiles carry identical content, so overlapping
+    # writes are benign. The frame stays RGBA: the (…, 4) u8 minor dim
+    # scatters as one 32-bit word per pixel (54 ms; 40-130x faster than
+    # any 2-wide or channel-major u8 layout — see _finalize_u8).
+    yy = origins_xy[:, 1, None, None] + jnp.arange(th)[None, :, None]
+    xx = origins_xy[:, 0, None, None] + jnp.arange(tw)[None, None, :]
+    return frame.at[yy, xx].set(tiles_u8)
+
+
+def _expand_va(va: np.ndarray) -> np.ndarray:
+    """(2, …) u8 channel-major value+alpha wire format -> (…, 4) RGBA."""
+    out = np.empty(va.shape[1:] + (4,), np.uint8)
+    out[..., 0:3] = va[0][..., None]
+    out[..., 3] = va[1]
+    return out
 
 
 @dataclass(frozen=True)
@@ -272,24 +330,8 @@ def render(
                 )
             return _sharded_cache[spp](origins, indices, key)
 
-    @jax.jit
     def finalize_u8(acc):
-        # Mean + u8 conversion on device: fetching u8 quarters the
-        # device->host bytes (the tunnel roundtrip dominates small batches).
-        # The parity integrator is grayscale (R=G=B — worker.rs:51-65), so
-        # only (value, alpha) cross the wire: 2 bytes/px instead of 4,
-        # halving the fetch that bounds the criterion workload
-        # (BENCH_teapot phase timers). Hosts expand back to RGBA on write.
-        mean = acc / spp_effective
-        u8 = jnp.clip(jnp.round(mean * 255.0), 0.0, 255.0).astype(jnp.uint8)
-        return u8[..., jnp.array([0, 3])]
-
-    def expand_va(va: np.ndarray) -> np.ndarray:
-        """(…, 2) u8 value+alpha wire format -> (…, 4) RGBA u8."""
-        out = np.empty(va.shape[:-1] + (4,), np.uint8)
-        out[..., 0:3] = va[..., 0:1]
-        out[..., 3] = va[..., 1]
-        return out
+        return _finalize_u8(acc, spp=spp_effective)
 
     def compute_batch(batch_start):
         batch = tiles[batch_start : batch_start + tiles_per_dispatch]
@@ -310,13 +352,14 @@ def render(
                     spp_pass,
                 )
                 acc = part if acc is None else acc + part
-        # Device u8 (K, th, tw, 4); fetched (tile mode) or placed on device
-        # (frame mode) later.
+        # Device u8 RGBA (K, th, tw, 4); fetched 2-channel (tile mode) or
+        # placed into the device frame (frame mode) later.
         return batch, finalize_u8(acc), origins
 
     def write_batch(batch, acc_u8, origins=None):
         with state.timers.phase("fetch"):
-            tiles_u8 = expand_va(np.asarray(acc_u8))  # single 2-ch fetch
+            # single 2-ch fetch: (2, K, th, tw) wire -> (K, th, tw, 4)
+            tiles_u8 = _expand_va(np.asarray(_repack_va(acc_u8)))
         for tile, tile_img in zip(batch, tiles_u8):
             x0, y0 = int(tile.min[0]), int(tile.min[1])
             x1, y1 = int(tile.max[0]), int(tile.max[1])
@@ -336,24 +379,17 @@ def render(
     # frame ONCE — the tunnel roundtrips per batch disappear.
     if frame_mode:
         th, tw = tile_shape
-        state.frame_dev = jnp.zeros((height + th, width + tw, 2), jnp.uint8)
+        state.frame_dev = jnp.zeros((height + th, width + tw, 4), jnp.uint8)
 
-        @jax.jit
         def place_tiles(frame, tiles_u8, origins_xy):
-            # One scatter for the whole batch (an unrolled
-            # dynamic_update_slice per tile would explode compile time at
-            # frame-mode batch sizes). Duplicate padded tiles carry
-            # identical content, so overlapping writes are benign.
-            yy = origins_xy[:, 1, None, None] + jnp.arange(th)[None, :, None]
-            xx = origins_xy[:, 0, None, None] + jnp.arange(tw)[None, None, :]
-            return frame.at[yy, xx].set(tiles_u8)
+            return _place_tiles(frame, tiles_u8, origins_xy, th=th, tw=tw)
 
         def fetch_frame():
             frame = state.frame_dev
             if frame is None:
                 return
             with state.timers.phase("fetch"):
-                full = expand_va(np.asarray(frame))
+                full = _expand_va(np.asarray(_repack_va(frame)))
             with state.image_lock:
                 state.image[:, :] = full[:height, :width]
 

@@ -16,6 +16,9 @@ import sys
 import time
 
 from minipath_tpu import Camera, RenderSettings, Scene, TriangleBvh, render
+from minipath_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 TEAPOT = "/root/reference/data/teapot.obj"
 
@@ -128,6 +131,11 @@ def main():
         "(BASELINE.md).",
         "timings": p.timings().summary(),
     }
+    from minipath_tpu.utils.calibrate import device_health
+
+    # The tunnel TPU's VPU throughput drifts between sessions (see
+    # utils/calibrate.py); stamp the probe so artifacts stay comparable.
+    out["device_health"] = device_health()
     if os.environ.get("MINIPATH_CPU_PROXY", "1") != "0":
         try:
             cpu_s = cpu_proxy_seconds()
