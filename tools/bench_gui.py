@@ -108,6 +108,9 @@ def main():
             min(x for x in (first_warm, first_warm2) if x is not None) < 1.0
         ),
     }
+    from minipath_tpu.utils.calibrate import device_health
+
+    out["device_health"] = device_health()
     with open(os.path.join(REPO, "GUI_PREVIEW.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
