@@ -1141,9 +1141,10 @@ class PTScene(NamedTuple):
     root: jnp.ndarray  # (1, 1) i32
     # (M*8, 20) f32 HBM-side shading table: n0, n1, n2 (9), material (1),
     # uv0, uv1, uv2 (9), pad (1) — gathered per winning triangle OUTSIDE
-    # the kernel (not a kernel input). Texture coordinates interpolate with
-    # the kernel barycentrics exactly like the reference's hit finalization
-    # (ray_bvh_intersection.rs:87-93).
+    # the kernel (not a kernel input) as one row gather per ray (see
+    # shade_from_flat for the measured layout trade). Texture coordinates
+    # interpolate with the kernel barycentrics exactly like the
+    # reference's hit finalization (ray_bvh_intersection.rs:87-93).
     shade_flat: jnp.ndarray
 
     def vmem_bytes(self) -> int:
@@ -1177,7 +1178,7 @@ def prepare_scene_pt(bvh: BvhArrays) -> PTScene:
     uvs = jnp.asarray(bvh.vert_uv)[vidx].reshape(M * 8, 9)
     shade_flat = jnp.concatenate(
         [shade, mat, uvs, jnp.zeros((M * 8, 1), jnp.float32)], axis=-1
-    )  # (M*8, 20)
+    )  # (M*8, 20) — row layout; see shade_from_flat for the measured trade
     return PTScene(
         node_box=base.node_box,
         node_links=base.node_links,

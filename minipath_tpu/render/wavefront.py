@@ -311,7 +311,16 @@ def shade_from_flat(shade_flat, tri, u, v):
     """One-row gather + barycentric interpolation out of a PTScene's
     ``shade_flat`` table: returns ``(normal, material, texture_coords)`` for
     the kernel's winning ``(tri, u, v)`` (the hit-finalization of
-    ``ray_bvh_intersection.rs:66-95``, deferred out of the hot loop)."""
+    ``ray_bvh_intersection.rs:66-95``, deferred out of the hot loop).
+
+    The row layout is a measured trade: ONE (N, 20) row gather beats 19
+    fused 1-D column gathers 12x on the TPU (0.74 vs ~9 Mpaths/s at
+    1080p/16spp — XLA lowers every 1-D gather to a serial ~3.4 ns/row
+    dynamic-slice loop, and 19 of them dominate the frame), but its
+    (8, 128)-tiled output pads the 20-wide minor dim 6.4x, so the HLO
+    temp is ~128 B/ray. Callers bound the wavefront chunk size (see
+    render_frame_pt's samples_per_packet) — ~4M rays/chunk keeps the
+    temp ~0.5 GB; a single 16M-ray chunk OOMs compile at 16 GB."""
     u = u[:, None]
     v = v[:, None]
     row = shade_flat[jnp.maximum(tri, 0)]  # (N, 20) — one gather
@@ -642,6 +651,7 @@ def _compact(state: _PathState, fine_direction: bool = True) -> _PathState:
         "shadow_tracer",
         "shadow_sort",
         "shadow_rr",
+        "nee_max_depth",
         "rr_start",
         "strat_spp",
         "with_sumsq",
@@ -666,6 +676,7 @@ def _pt_chunk(
     shadow_tracer=None,
     shadow_sort: str = "pos",
     shadow_rr: bool = True,
+    nee_max_depth: int | None = None,
     rr_start: int = 3,
     strat_spp: int | None = None,
     strat_offset=0,
@@ -685,7 +696,7 @@ def _pt_chunk(
         tracer_state, materials, env, rays9, key,
         tracer=tracer, samples=samples, bounces=bounces, compaction=compaction,
         lights=lights, shadow_tracer=shadow_tracer, shadow_sort=shadow_sort,
-        shadow_rr=shadow_rr, rr_start=rr_start,
+        shadow_rr=shadow_rr, nee_max_depth=nee_max_depth, rr_start=rr_start,
         strat_spp=strat_spp, strat_offset=strat_offset, strat_seed=strat_seed,
         with_sumsq=with_sumsq, clamp=clamp,
     )
@@ -706,6 +717,7 @@ def _pt_trace(
     shadow_tracer=None,
     shadow_sort: str = "pos",
     shadow_rr: bool = True,
+    nee_max_depth: int | None = None,
     rr_start: int = 3,
     strat_spp: int | None = None,
     strat_offset=0,
@@ -731,6 +743,8 @@ def _pt_trace(
     keep full weight). Unbiased either way — NEE only moves variance.
     """
     nee = lights is not None and shadow_tracer is not None
+    if nee_max_depth is not None and not nee:
+        raise ValueError("nee_max_depth given without lights/shadow_tracer")
     B0, _, S, LN = rays9.shape
     P0 = S * LN
     N = B0 * P0
@@ -813,7 +827,15 @@ def _pt_trace(
         d_dot_n = jnp.sum(state.direction * kh.normal, axis=-1, keepdims=True)
         nf = jnp.where(d_dot_n < 0, kh.normal, -kh.normal)
 
-        if nee:
+        # ``nee_max_depth`` caps the shadow passes to the first K vertices:
+        # deep vertices skip the (expensive) occlusion trace and instead
+        # hand FULL BSDF weight to the next emitter hit by zeroing the
+        # carried prev_pdf below — exactly the delta-lobe mechanism, so the
+        # estimator stays unbiased; only deep-bounce direct light loses its
+        # variance reduction, where throughput (and thus variance share) is
+        # already small.
+        nee_here = nee and (nee_max_depth is None or bounce < nee_max_depth)
+        if nee_here:
             # Next-event estimation at diffuse AND glossy vertices: sample
             # one light point, trace the occlusion segment, add the
             # MIS-weighted direct contribution. Glossy metal participates
@@ -999,8 +1021,14 @@ def _pt_trace(
             active=active,
             # bsdf_pdf is already 0 for delta lobes, so emitter hits through
             # mirrors/glass keep full weight; diffuse AND glossy carry their
-            # lobe pdf into the next vertex's MIS.
-            prev_pdf=jnp.where(hit, bsdf_pdf, 0.0) if nee else None,
+            # lobe pdf into the next vertex's MIS. Vertices past
+            # nee_max_depth carry 0: their direct light was NOT light-
+            # sampled, so the next emitter hit must keep full weight.
+            prev_pdf=(
+                jnp.where(hit, bsdf_pdf, 0.0)
+                if nee_here
+                else (jnp.zeros_like(bsdf_pdf) if nee else None)
+            ),
         )
 
     # Paths still active after the bounce budget contribute nothing more.
@@ -1036,6 +1064,7 @@ def make_pt_renderer_sharded(
     lights: LightTable | None = None,
     shadow_tracer=None,
     shadow_rr: bool = True,
+    nee_max_depth: int | None = None,
     rr_start: int = 3,
     stratify: bool = True,
 ):
@@ -1079,7 +1108,8 @@ def make_pt_renderer_sharded(
             tracer=tracer, samples=samples, bounces=bounces,
             compaction=compaction,
             lights=lights_arg, shadow_tracer=shadow_tracer,
-            shadow_rr=shadow_rr, rr_start=rr_start,
+            shadow_rr=shadow_rr, nee_max_depth=nee_max_depth,
+            rr_start=rr_start,
             strat_spp=strat_spp, strat_offset=strat_offset,
             strat_seed=strat_seed,
         )
@@ -1146,6 +1176,7 @@ def render_frame_pt(
     shadow_tracer=None,
     shadow_sort: str = "pos",
     shadow_rr: bool = True,
+    nee_max_depth: int | None = None,
     rr_start: int = 3,
     stratify: bool = True,
     strat_total: int | None = None,
@@ -1220,6 +1251,7 @@ def render_frame_pt(
             shadow_tracer=shadow_tracer,
             shadow_sort=shadow_sort,
             shadow_rr=shadow_rr,
+            nee_max_depth=nee_max_depth,
             rr_start=rr_start,
             strat_spp=(strat_total or spp) if stratify else None,
             strat_offset=jnp.int32(strat_offset + done),

@@ -347,6 +347,31 @@ class TestNee:
             a[..., :3].mean(), b[..., :3].mean(), rtol=0.12
         )
 
+    def test_nee_depth_cap_is_unbiased(self):
+        # Capping NEE to the first vertex hands full BSDF weight to deeper
+        # emitter hits (prev_pdf = 0 past the cap) — the estimator mean
+        # must match uncapped NEE within Monte Carlo noise.
+        obj, table = _floor_and_panel_scene()
+        lights, shadow = _nee_bits(obj, table)
+        sampler = _down_camera().build_sampler((16, 16))
+        tr, tr_state = _tracer(obj)
+        kw = dict(
+            width=16, height=16, bounces=3, env=Environment.none(),
+            px_block=(16, 16), spp=96, samples_per_packet=32,
+            lights=lights, shadow_tracer=shadow,
+        )
+        full = np.asarray(render_frame_pt(
+            tr, tr_state, table, sampler, jax.random.key(3), **kw,
+        ))
+        capped = np.asarray(render_frame_pt(
+            tr, tr_state, table, sampler, jax.random.key(4),
+            nee_max_depth=1, **kw,
+        ))
+        assert full[..., :3].mean() > 0.05
+        np.testing.assert_allclose(
+            full[..., :3].mean(), capped[..., :3].mean(), rtol=0.12
+        )
+
     def test_shadow_sort_modes_agree(self):
         # The shadow_sort knob only reorders the occlusion batch (and
         # "fromlight" traces each segment reversed) — the estimator is

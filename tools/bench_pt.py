@@ -53,9 +53,13 @@ def build_scene():
 
 
 def main():
-    W = int(sys.argv[1]) if len(sys.argv) > 1 else 1920
-    H = int(sys.argv[2]) if len(sys.argv) > 2 else 1080
-    SPP = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    # Defaults match the committed artifact config (metric name below).
+    # Larger configs work but mind the wavefront chunk temp: a 16M-ray
+    # chunk OOMs compile at ~16 GB HBM (see shade_from_flat) and the
+    # megakernel at 1080p/16spp has crashed the TPU worker outright.
+    W = int(sys.argv[1]) if len(sys.argv) > 1 else 960
+    H = int(sys.argv[2]) if len(sys.argv) > 2 else 540
+    SPP = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     BOUNCES = 5
 
     res, table = build_scene()
