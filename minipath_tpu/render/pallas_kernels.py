@@ -1124,6 +1124,12 @@ def trace_packets_pallas_q(
 #   what the kernel visits today. Remaining wins must trace fewer rays
 #   (roulette, compaction) — not traverse smarter. The seed= hook stays:
 #   it is exact (tested) and the right primitive for future anyhit reuse.
+# * packed_or=True (bit-pack all 8 children's hit bits into ONE word,
+#   sublane OR-fold + log2(LANES) roll-ORs, a single vector->scalar read
+#   per visit instead of four; tools/sweep_pt18.py): 22% SLOWER (1027 vs
+#   839 ms on bounce-3, 100% tri agreement) — the 7 cross-lane roll-OR
+#   steps cost more VPU time than the 3 extra packed sums save in scalar
+#   sync. The visit is not dominated by the vector->scalar handoff.
 # * bf16 slab test (tools/microbench_vpu_bf16.py): the VPU retires a
 #   register-resident bf16 min/max/mul chain at 0.62x the f32 rate
 #   (1738 vs 2804 Gop/s — bf16 is a storage format; the ALU unpacks it),
@@ -1206,6 +1212,7 @@ def _traverse_kernel_pt(
     pop2: bool = False,
     anyhit: bool = False,
     seeded: bool = False,
+    packed_or: bool = False,
 ):
     if seeded:
         (seed_t_ref, seed_tri_ref, seed_u_ref, seed_v_ref,
@@ -1246,9 +1253,16 @@ def _traverse_kernel_pt(
         (used by the pop-2 body when the second stack entry is absent)."""
         boxes = node_box_ref[idx]  # (48,)
         clinks = node_links_ref[idx]  # (8,)
-        # Per-lane hit bits for all 8 children, reduced in 4 packed
-        # sums (counts <= S*128 < 65536 fit a 16-bit field).
+        # Per-lane hit bits for all 8 children. Two reduction strategies:
+        # packed_or=False: 4 packed sums (counts <= S*128 < 65536 fit a
+        #   16-bit field) -> 4 full reductions + 4 vector->scalar reads.
+        # packed_or=True: all 8 children ride one bit-packed word; a
+        #   sublane OR-fold + log2(LANES) roll-OR steps leave the full
+        #   8-bit any-mask in every element, so the scalar core does ONE
+        #   vector->scalar read per visit instead of four (that sync is
+        #   serialized with the push logic and dominates the visit).
         packed = [jnp.zeros((S, LANES), jnp.int32) for _ in range(4)]
+        orword = jnp.zeros((S, LANES), jnp.int32)
         child_keys = []
         child_links = []
         for c in range(8):
@@ -1270,9 +1284,12 @@ def _traverse_kernel_pt(
                 jnp.minimum(jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)),
             )
             hit = (t1 <= t2).astype(jnp.int32)
-            packed[c // 2] = packed[c // 2] + (
-                hit if c % 2 == 0 else hit << 16
-            )
+            if packed_or:
+                orword = orword | (hit << c)
+            else:
+                packed[c // 2] = packed[c // 2] + (
+                    hit if c % 2 == 0 else hit << 16
+                )
             # Far-first sort key: center projection onto the octant
             # direction (scalar geometry, no vector reduce).
             child_keys.append(
@@ -1282,17 +1299,34 @@ def _traverse_kernel_pt(
             )
             child_links.append(clinks[c])
         NEG = jnp.float32(-jnp.inf)
-        for j in range(4):
-            tot = jnp.sum(packed[j])
-            lo_any = (tot & 0xFFFF) > 0
-            hi_any = (tot >> 16) > 0
-            c0, c1 = 2 * j, 2 * j + 1
-            child_keys[c0] = jnp.where(
-                lo_any & (child_links[c0] != _NULL), child_keys[c0], NEG
-            )
-            child_keys[c1] = jnp.where(
-                hi_any & (child_links[c1] != _NULL), child_keys[c1], NEG
-            )
+        if packed_or:
+            r = orword
+            n = S
+            while n > 1:  # sublane OR-fold: (S,L) -> (1,L)
+                r = r[: n // 2] | r[n // 2 : n]
+                n //= 2
+            sh = LANES // 2
+            while sh >= 1:  # cross-lane OR: every element ends all-ORed
+                r = r | pltpu.roll(r, sh, 1)
+                sh //= 2
+            word = r[0, 0]  # the visit's single vector->scalar sync
+            for c in range(8):
+                any_c = ((word >> c) & 1) > 0
+                child_keys[c] = jnp.where(
+                    any_c & (child_links[c] != _NULL), child_keys[c], NEG
+                )
+        else:
+            for j in range(4):
+                tot = jnp.sum(packed[j])
+                lo_any = (tot & 0xFFFF) > 0
+                hi_any = (tot >> 16) > 0
+                c0, c1 = 2 * j, 2 * j + 1
+                child_keys[c0] = jnp.where(
+                    lo_any & (child_links[c0] != _NULL), child_keys[c0], NEG
+                )
+                child_keys[c1] = jnp.where(
+                    hi_any & (child_links[c1] != _NULL), child_keys[c1], NEG
+                )
 
         # Descending sort: pushed children (finite keys) form a prefix,
         # farthest first, so the nearest child pops first.
@@ -1498,7 +1532,8 @@ def _traverse_kernel_pt(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "stack_size", "t_max", "interpret", "sort_children", "pop2", "anyhit"
+        "stack_size", "t_max", "interpret", "sort_children", "pop2",
+        "anyhit", "packed_or",
     ),
 )
 def trace_packets_pallas_pt(
@@ -1514,6 +1549,7 @@ def trace_packets_pallas_pt(
     anyhit: bool = False,
     roots=None,
     seed=None,
+    packed_or: bool = False,
 ):
     """Lean closest-hit trace (see the section comment above). Returns
     :class:`PTHits` with ``(B, P)`` fields; shading is the caller's job.
@@ -1545,6 +1581,7 @@ def trace_packets_pallas_pt(
         pop2=pop2,
         anyhit=anyhit,
         seeded=seed is not None,
+        packed_or=packed_or,
     )
     if live_packets is None:
         live_packets = B
