@@ -253,27 +253,33 @@ def bench_pt(sync):
     sampler = cam.build_sampler((W2, H2))
     key = jax.random.key(0)
 
-    def frame(k, nee):
+    def frame(k, nee, cap=None):
         img = render_frame_pt(
             tracer, tstate, table, sampler, k,
             width=W2, height=H2, spp=SPP2, bounces=BOUNCES,
             env=Environment.sky(), samples_per_packet=SPP2, compaction=True,
             lights=lights if nee else None,
             shadow_tracer=shadow if nee else None,
+            nee_max_depth=cap,
         )
         return jnp.mean(img[..., :3])
 
     paths = W2 * H2 * SPP2
     out = {"workload": f"atrium PT {W2}x{H2} @ {SPP2}spp, {BOUNCES} bounces"}
-    for nee in (False, True):
-        name = "nee" if nee else "wavefront"
+    # nee_capped: light-sample the first vertex only — the measured
+    # Monte-Carlo-efficiency optimum (tools/sweep_pt17.py), unbiased.
+    for name, nee, cap in (
+        ("wavefront", False, None),
+        ("nee", True, None),
+        ("nee_capped", True, 1),
+    ):
         t0 = time.time()
-        sync1 = float(np.asarray(frame(key, nee)))
+        sync1 = float(np.asarray(frame(key, nee, cap)))
         log(f"  pt {name} warmup (incl compile): {time.time()-t0:.1f}s")
         times = []
         for i in range(3):
             t0 = time.time()
-            float(np.asarray(frame(jax.random.fold_in(key, 50 + i), nee)))
+            float(np.asarray(frame(jax.random.fold_in(key, 50 + i), nee, cap)))
             times.append(time.time() - t0)
         arr = np.array(times)
         out[f"{name}_mean_s"] = round(float(arr.mean()), 3)
@@ -475,7 +481,11 @@ def main() -> int:
         "vs_baseline": round(mrays / TARGET_MRAYS, 3),
     }
     # Surface the north-star integrator in the driver line too.
-    for k in ("wavefront_mpaths_per_s", "nee_mpaths_per_s"):
+    for k in (
+        "wavefront_mpaths_per_s",
+        "nee_mpaths_per_s",
+        "nee_capped_mpaths_per_s",
+    ):
         if k in pt:
             line[f"pt_{k}"] = pt[k]
     print(json.dumps(line))

@@ -52,6 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=1, help="shard the render across N devices (jax.sharding.Mesh); 0 = all available")
     p.add_argument("--no-compaction", action="store_true", help="path tracer: disable wavefront stream compaction (megakernel mode)")
     p.add_argument("--nee", action="store_true", help="path tracer: next-event estimation (explicit light sampling with MIS; needs emissive materials, e.g. --scene atrium)")
+    p.add_argument("--nee-depth", type=int, default=None, metavar="K", help="path tracer: light-sample only the first K path vertices (unbiased at any K; deeper emitter hits keep full BSDF weight). K=1 is the measured Monte-Carlo-efficiency optimum on the atrium (tools/sweep_pt17.py); default = every vertex")
     p.add_argument("--no-shadow-rr", action="store_true", help="path tracer: disable shadow-ray Russian roulette (trade NEE speed back for slightly lower variance)")
     p.add_argument("--iid", action="store_true", help="path tracer: reference-style iid sampling instead of per-pixel stratification (for A/B noise comparisons)")
     p.add_argument("--denoise", action="store_true", help="path tracer: edge-avoiding a-trous filter guided by first-hit normals/depth (biased post-process; the saved PNG only)")
@@ -236,6 +237,11 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
                 file=sys.stderr,
             )
             shadow_tracer = None
+    # The depth cap is only meaningful when NEE is actually running
+    # (render_frame_pt rejects nee_max_depth without lights).
+    nee_depth = (
+        args.nee_depth if args.nee and shadow_tracer is not None else None
+    )
     t0 = time.time()
     if mesh is not None:
         if args.adaptive:
@@ -261,6 +267,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             lights=lights,
             shadow_tracer=shadow_tracer,
             shadow_rr=not args.no_shadow_rr,
+            nee_max_depth=nee_depth,
             stratify=not args.iid,
         )
         img = renderer(
@@ -294,6 +301,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             lights=lights,
             shadow_tracer=shadow_tracer,
             shadow_rr=not args.no_shadow_rr,
+            nee_max_depth=nee_depth,
             stratify=not args.iid,
         )
     else:
@@ -313,6 +321,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             lights=lights,
             shadow_tracer=shadow_tracer,
             shadow_rr=not args.no_shadow_rr,
+            nee_max_depth=nee_depth,
             stratify=not args.iid,
             return_variance=args.denoise and args.spp >= 2,
             clamp=args.clamp,

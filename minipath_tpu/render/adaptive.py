@@ -50,8 +50,8 @@ __all__ = ["render_frame_pt_adaptive"]
     jax.jit,
     static_argnames=(
         "tracer", "wc", "block_count", "px_block", "samples", "bounces",
-        "compaction", "shadow_tracer", "shadow_rr", "rr_start",
-        "with_sumsq", "stratify",
+        "compaction", "shadow_tracer", "shadow_rr", "nee_max_depth",
+        "rr_start", "with_sumsq", "stratify",
     ),
 )
 def _chunk_blocks(
@@ -73,6 +73,7 @@ def _chunk_blocks(
     compaction: bool,
     shadow_tracer=None,
     shadow_rr: bool = True,
+    nee_max_depth: int | None = None,
     rr_start: int = 3,
     with_sumsq: bool = False,
     stratify: bool = True,
@@ -96,7 +97,7 @@ def _chunk_blocks(
         tracer_state, materials, env, rays9, key,
         tracer=tracer, samples=samples, bounces=bounces,
         compaction=compaction, lights=lights, shadow_tracer=shadow_tracer,
-        shadow_rr=shadow_rr, rr_start=rr_start,
+        shadow_rr=shadow_rr, nee_max_depth=nee_max_depth, rr_start=rr_start,
         strat_spp=samples if stratify else None, strat_seed=seed,
         live_rays=live_rays, with_sumsq=with_sumsq,
     )
@@ -121,6 +122,7 @@ def render_frame_pt_adaptive(
     lights=None,
     shadow_tracer=None,
     shadow_rr: bool = True,
+    nee_max_depth: int | None = None,
     rr_start: int = 3,
     stratify: bool = True,
     return_spp_map: bool = False,
@@ -150,7 +152,7 @@ def render_frame_pt_adaptive(
         tracer=tracer, wc=wc, block_count=B, px_block=px_block,
         bounces=bounces, compaction=compaction,
         shadow_tracer=shadow_tracer, shadow_rr=shadow_rr,
-        rr_start=rr_start, stratify=stratify,
+        nee_max_depth=nee_max_depth, rr_start=rr_start, stratify=stratify,
     )
     ident = jnp.arange(B, dtype=jnp.int32)
     all_rays = jnp.int32(B * bp * pilot_spp)

@@ -156,6 +156,13 @@ def test_adaptive_with_nee(scene):
         spp=18, pilot_spp=2, samples_per_packet=8, **kw,
     ))[..., :3]
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.06)
+    # The NEE depth cap threads through the adaptive rounds too (unbiased
+    # at any K, so the mean must agree within MC noise).
+    c = np.asarray(render_frame_pt_adaptive(
+        tracer, tstate, table, sampler, jax.random.key(2),
+        spp=18, pilot_spp=2, samples_per_packet=8, nee_max_depth=1, **kw,
+    ))[..., :3]
+    np.testing.assert_allclose(a.mean(), c.mean(), rtol=0.06)
 
 
 def test_budget_too_small_raises(scene):

@@ -123,30 +123,37 @@ def main():
         scene, stack_size=res.recommended_stack_size, packet_size=2048
     )
 
-    def frame_nee(k):
+    def frame_nee(k, cap=None):
         img = render_frame_pt(
             tracer, tracer_state, table, sampler, k,
             width=W, height=H, spp=SPP, bounces=BOUNCES,
             env=Environment.sky(), samples_per_packet=min(8, SPP),
             compaction=True, lights=lights, shadow_tracer=shadow,
+            nee_max_depth=cap,
         )
         return jnp.mean(img[..., :3], axis=(0, 1))
 
-    t0 = time.time()
-    m = np.asarray(frame_nee(key))
-    print(f"nee warmup (incl compile): {time.time()-t0:.1f}s mean={m}", flush=True)
-    times = []
-    for i in range(3):
+    # Uncapped (light-sample every vertex) and the production depth cap:
+    # nee_max_depth=1 is the measured Monte-Carlo-efficiency optimum on this
+    # scene (tools/sweep_pt17.py: per-pixel variance 6.06e-2 vs uncapped
+    # 5.86e-2 while dropping 4 of 5 shadow passes — 1.47x the efficiency).
+    NEE_CAP = 1
+    for name, cap in (("nee", None), ("nee_capped", NEE_CAP)):
         t0 = time.time()
-        m = np.asarray(frame_nee(jax.random.fold_in(key, 20 + i)))
-        times.append(time.time() - t0)
-    results["nee"] = (np.array(times), m)
-    print(
-        f"nee: {results['nee'][0].mean():.2f}s/frame  "
-        f"{W*H*SPP/results['nee'][0].mean()/1e6:.2f} Mpaths/s  "
-        f"mean_rgb={m.round(4)}",
-        flush=True,
-    )
+        m = np.asarray(frame_nee(key, cap))
+        print(f"{name} warmup (incl compile): {time.time()-t0:.1f}s mean={m}", flush=True)
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            m = np.asarray(frame_nee(jax.random.fold_in(key, 20 + i), cap))
+            times.append(time.time() - t0)
+        results[name] = (np.array(times), m)
+        print(
+            f"{name}: {results[name][0].mean():.2f}s/frame  "
+            f"{W*H*SPP/results[name][0].mean()/1e6:.2f} Mpaths/s  "
+            f"mean_rgb={m.round(4)}",
+            flush=True,
+        )
 
     wf, mk = results["wavefront"], results["megakernel"]
     speedup = mk[0].mean() / wf[0].mean()
@@ -174,6 +181,18 @@ def main():
         # slightly above the BSDF-only truncation. The delta shrinks as the
         # bounce budget grows.
         "nee_note": "delta vs wavefront = extra final-vertex direct light, not bias",
+        "nee_capped_depth": NEE_CAP,
+        "nee_capped_mean_s": round(float(results["nee_capped"][0].mean()), 3),
+        "nee_capped_mpaths_per_s": round(
+            W * H * SPP / results["nee_capped"][0].mean() / 1e6, 3
+        ),
+        "nee_capped_vs_wavefront": round(
+            float(results["nee_capped"][0].mean() / wf[0].mean()), 2
+        ),
+        "nee_capped_note": (
+            "production NEE config: light-sample the first vertex only "
+            "(unbiased; tools/sweep_pt17.py efficiency sweep)"
+        ),
     }
     from minipath_tpu.utils.calibrate import device_health
 
