@@ -17,13 +17,30 @@ import sys
 # Hard override: the session environment presets JAX_PLATFORMS=axon (TPU).
 os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compile cache: XLA CPU compiles of the traversal loops cost
-# tens of seconds each; cache them across test runs.
+# tens of seconds each; cache them across test runs. The env vars alone are
+# NOT enough here: the axon sitecustomize imports jax at interpreter start
+# (before this conftest), freezing the env-derived config — so set the
+# config explicitly too.
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update(
+    "jax_persistent_cache_min_entry_size_bytes",
+    int(os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"]),
+)
+jax.config.update(
+    "jax_persistent_cache_min_compile_time_secs",
+    float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),
+)
 
 import numpy as np
 import pytest

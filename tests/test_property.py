@@ -173,7 +173,13 @@ class TestSlabPostconditions:
         t1, t2 = float(t1), float(t2)
         if t1 <= t2:  # hit: entry point must lie on/in the (padded) box
             p = o + np.maximum(t1, 0.0) * d
-            pad = 1e-3 * (1.0 + np.abs(bmax - bmin) + np.abs(p))
+            # f32 roundoff in ``p = o + t*d`` scales with the OVERALL
+            # magnitude of the computation (|t| and the largest coordinate),
+            # not per-component: a huge x-extent box hit at t~5e4 produces
+            # ~1e-3 absolute error in a DEGENERATE z slab (hypothesis corpus
+            # 0ee5646ef5ec9521). Pad with a single max-norm-scaled scalar.
+            scale = 1.0 + np.max(np.abs(bmax - bmin)) + np.max(np.abs(p)) + abs(t1)
+            pad = 1e-4 * scale
             assert np.all(p >= bmin - pad) and np.all(p <= bmax + pad)
 
     @_SETTINGS
