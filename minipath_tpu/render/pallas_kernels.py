@@ -654,21 +654,12 @@ def _traverse_kernel_q(
     node_ref,  # VMEM (N, 32) i32 — packed u16 child boxes + links
     tri_ref,  # VMEM (M, 64) i32 — packed u16 verts + u16 mats + i8 normals
     rays_ref,  # VMEM (1, 9, S, 128) f32
-    t_ref,
-    tri_out_ref,
-    nx_ref,
-    ny_ref,
-    nz_ref,
-    mat_out_ref,
-    ovf_ref,
-    stack_ref,  # SMEM (S,) i32 — encoded links
-    stack_t_ref,  # SMEM (S,) f32 — packet-min entry distance
-    stack_w_ref,  # SMEM (S, 3) i32 — entry's packed box (parent-frame u16)
-    stack_pb_ref,  # SMEM (S, 6) f32 — parent frame box
-    *dma_scratch,  # tri_in_hbm only: VMEM (LEAF_DMA_ROWS, 64) i32 + DMA sem
+    *rest,  # outputs (mode-dependent, see below) then SMEM/DMA scratch
     t_max: float,
     stack_size: int,
     tri_in_hbm: bool = False,
+    lean: bool = False,
+    anyhit: bool = False,
 ):
     """Same traversal as :func:`_traverse_kernel`, but every stack entry
     carries its quantized box plus the parent frame (the reference's
@@ -679,7 +670,33 @@ def _traverse_kernel_q(
     With ``tri_in_hbm`` the triangle array lives in HBM and each leaf
     visit async-copies its packet rows into the VMEM scratch first — the
     price is one DMA latency per leaf visit; the win is that VMEM holds
-    only the node table, so scene size is bounded by HBM."""
+    only the node table, so scene size is bounded by HBM.
+
+    Modes (outputs in ``rest``, before the stack scratch refs):
+
+    * default: full in-kernel shading — ``t, tri, nx, ny, nz, mat, ovf``
+      (the primary-ray renderer's contract).
+    * ``lean=True``: the PT contract of :func:`_traverse_kernel_pt` —
+      ``t, tri, u, v, diag`` (diag lanes 0/1/2 = overflow / inner visits /
+      leaf tests); normal/material interpolation is skipped and the
+      winner's barycentrics ride out for an HBM ``shade_from_flat`` gather.
+      This is what makes the quantized (and HBM-streamed) layouts
+      first-class path-tracing citizens past the f32 VMEM budget — the
+      reference renders any scene that fits RAM through one full-featured
+      path (``ray_bvh_intersection.rs:26-96``).
+    * ``anyhit=True`` (requires ``lean``): occlusion mode — a lane's first
+      hit poisons its ``best_t`` to -1 (fails every later slab/MT test)
+      and a leaf whose packet has every lane finished drops the stack
+      wholesale. Only ``tri >= 0`` is meaningful in the outputs."""
+    if lean:
+        (t_ref, tri_out_ref, u_ref, v_ref, diag_ref,
+         stack_ref, stack_t_ref, stack_w_ref, stack_pb_ref,
+         *dma_scratch) = rest
+    else:
+        assert not anyhit, "anyhit requires lean mode"
+        (t_ref, tri_out_ref, nx_ref, ny_ref, nz_ref, mat_out_ref, ovf_ref,
+         stack_ref, stack_t_ref, stack_w_ref, stack_pb_ref,
+         *dma_scratch) = rest
     S, LANES = rays_ref.shape[2], rays_ref.shape[3]
     ox = rays_ref[0, 0]
     oy = rays_ref[0, 1]
@@ -715,10 +732,10 @@ def _traverse_kernel_q(
     live = pl.program_id(0) < live_ref[0, 0]
 
     def cond(carry):
-        return carry[0] > 0
+        return carry["sp"] > 0
 
     def body(carry):
-        sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat = carry
+        sp = carry["sp"]
         link = stack_ref[sp - 1]
         t_entry = stack_t_ref[sp - 1]
         w0 = stack_w_ref[sp - 1, 0]
@@ -730,7 +747,7 @@ def _traverse_kernel_q(
         p3 = stack_pb_ref[sp - 1, 3]
         p4 = stack_pb_ref[sp - 1, 4]
         p5 = stack_pb_ref[sp - 1, 5]
-        sp = sp - 1
+        carry = dict(carry, sp=sp - 1)
         # Decompress this entry's own box from the parent frame
         # (RelativeBox8 decompression, compressed_geometry.rs:122-145).
         psx = (p3 - p0) * _INV_U16
@@ -748,7 +765,7 @@ def _traverse_kernel_q(
         is_leaf = count != 0
 
         def inner_case(args):
-            sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
+            sp, ovf, best_t = args["sp"], args["ovf"], args["t"]
             row = node_ref[idx]  # (32,) i32
             msx = (bmaxx - bminx) * _INV_U16
             msy = (bmaxy - bminy) * _INV_U16
@@ -817,10 +834,13 @@ def _traverse_kernel_q(
 
                 sp = sp + ok.astype(jnp.int32)
                 ovf = ovf + (push & ~fits).astype(jnp.int32)
-            return sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat
+            out = dict(args, sp=sp, ovf=ovf)
+            if lean:
+                out["ivis"] = args["ivis"] + 1
+            return out
 
         def leaf_case(args):
-            sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat = args
+            sp, best_t, best_tri = args["sp"], args["t"], args["tri"]
             # The leaf's triangles are quantized against the leaf's own
             # decompressed box (RelativeTriangle8, :147-163).
             lsx = (bmaxx - bminx) * _INV_U16
@@ -839,7 +859,11 @@ def _traverse_kernel_q(
                 cp.wait()
 
             def packet_body(j, pc):
-                best_t, best_tri, bnx, bny, bnz, bmat = pc
+                best_t, best_tri = pc["t"], pc["tri"]
+                if lean:
+                    bu, bv = pc["u"], pc["v"]
+                else:
+                    bnx, bny, bnz, bmat = pc["nx"], pc["ny"], pc["nz"], pc["mat"]
                 pidx = idx + j
                 row = tri_scratch[j] if tri_in_hbm else tri_ref[pidx]  # (64,) i32
 
@@ -889,6 +913,13 @@ def _traverse_kernel_q(
                         ok, pidx * L.LEAF_NODE_PACKET_SIZE + lane, best_tri
                     )
                     best_t = jnp.where(ok, t, best_t)
+                    if lean:
+                        # PT contract: barycentrics only; shading is one
+                        # HBM row gather outside the kernel
+                        # (shade_from_flat), matching _traverse_kernel_pt.
+                        bu = jnp.where(ok, u, bu)
+                        bv = jnp.where(ok, v, bv)
+                        continue
                     # i8 shading normals, interpolated + normalized
                     # (ray_bvh_intersection.rs:76-85).
                     n0x, n0y, n0z = ncomp(b + 0), ncomp(b + 1), ncomp(b + 2)
@@ -907,55 +938,83 @@ def _traverse_kernel_q(
                     mw = row[36 + (lane >> 1)]
                     mat_val = (mw >> (16 * (lane & 1))) & 0xFFFF
                     bmat = jnp.where(ok, mat_val, bmat)
-                return best_t, best_tri, bnx, bny, bnz, bmat
+                if anyhit:
+                    # Occlusion mode (see _traverse_kernel_pt.leaf_visit):
+                    # a finished lane's poisoned best_t fails every later
+                    # slab (t1 >= 0 > t2) and MT (t < best_t) test.
+                    best_t = jnp.where(best_tri >= 0, jnp.float32(-1.0), best_t)
+                out = {"t": best_t, "tri": best_tri}
+                if lean:
+                    out["u"], out["v"] = bu, bv
+                else:
+                    out.update(nx=bnx, ny=bny, nz=bnz, mat=bmat)
+                return out
 
-            best_t, best_tri, bnx, bny, bnz, bmat = jax.lax.fori_loop(
-                0, count, packet_body, (best_t, best_tri, bnx, bny, bnz, bmat)
-            )
-            max_best = jnp.max(best_t)
-            return sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat
+            pc0 = {k: args[k] for k in
+                   (("t", "tri", "u", "v") if lean
+                    else ("t", "tri", "nx", "ny", "nz", "mat"))}
+            pc = jax.lax.fori_loop(0, count, packet_body, pc0)
+            out = dict(args, **pc, max_best=jnp.max(pc["t"]))
+            if anyhit:
+                # Whole-packet retire: once every lane has an occluder the
+                # remaining stack can only re-test finished lanes.
+                out["sp"] = jnp.where(jnp.min(pc["tri"]) >= 0, 0, sp)
+            if lean:
+                out["ltst"] = args["ltst"] + count
+            return out
 
         def skip_case(args):
             return args
 
-        live = t_entry <= max_best
+        alive = t_entry <= carry["max_best"]
         return jax.lax.cond(
-            live,
+            alive,
             lambda args: jax.lax.cond(is_leaf, leaf_case, inner_case, args),
             skip_case,
-            (sp, ovf, max_best, best_t, best_tri, bnx, bny, bnz, bmat),
+            carry,
         )
 
-    best_t0 = jnp.full((S, LANES), t_max, jnp.float32)
-    best_tri0 = jnp.full((S, LANES), -1, jnp.int32)
     zeros = jnp.zeros((S, LANES), jnp.float32)
     sp0 = jnp.where((root == _NULL) | ~live, 0, 1).astype(jnp.int32)
-    _, ovf, _, best_t, best_tri, bnx, bny, bnz, bmat = jax.lax.while_loop(
-        cond,
-        body,
-        (
-            sp0,
-            jnp.int32(0),
-            jnp.float32(t_max),
-            best_t0,
-            best_tri0,
-            zeros,
-            zeros,
-            zeros,
-            jnp.zeros((S, LANES), jnp.int32),
-        ),
-    )
-    t_ref[0] = best_t
-    tri_out_ref[0] = best_tri
-    nx_ref[0] = bnx
-    ny_ref[0] = bny
-    nz_ref[0] = bnz
-    mat_out_ref[0] = bmat
-    ovf_ref[0] = jnp.full((1, LANES), ovf, jnp.int32)
+    carry0 = {
+        "sp": sp0,
+        "ovf": jnp.int32(0),
+        "max_best": jnp.float32(t_max),
+        "t": jnp.full((S, LANES), t_max, jnp.float32),
+        "tri": jnp.full((S, LANES), -1, jnp.int32),
+    }
+    if lean:
+        carry0.update(
+            ivis=jnp.int32(0), ltst=jnp.int32(0), u=zeros, v=zeros
+        )
+    else:
+        carry0.update(
+            nx=zeros, ny=zeros, nz=zeros,
+            mat=jnp.zeros((S, LANES), jnp.int32),
+        )
+    fin = jax.lax.while_loop(cond, body, carry0)
+    t_ref[0] = fin["t"]
+    tri_out_ref[0] = fin["tri"]
+    if lean:
+        u_ref[0] = fin["u"]
+        v_ref[0] = fin["v"]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        diag_ref[0] = jnp.where(
+            lane == 1, fin["ivis"], jnp.where(lane == 2, fin["ltst"], fin["ovf"])
+        )
+    else:
+        nx_ref[0] = fin["nx"]
+        ny_ref[0] = fin["ny"]
+        nz_ref[0] = fin["nz"]
+        mat_out_ref[0] = fin["mat"]
+        ovf_ref[0] = jnp.full((1, LANES), fin["ovf"], jnp.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stack_size", "t_max", "interpret", "hbm_tris")
+    jax.jit,
+    static_argnames=(
+        "stack_size", "t_max", "interpret", "hbm_tris", "lean", "anyhit",
+    ),
 )
 def trace_packets_pallas_q(
     scene,
@@ -966,6 +1025,8 @@ def trace_packets_pallas_q(
     interpret: bool = False,
     live_packets=None,  # traced scalar: packets past it skip traversal
     hbm_tris: bool = False,
+    lean: bool = False,
+    anyhit: bool = False,
 ):
     """Quantized-scene variant of :func:`trace_packets_pallas`; same
     :class:`KernelHits` contract (results differ from the f32 path only by
@@ -973,19 +1034,31 @@ def trace_packets_pallas_q(
 
     ``hbm_tris=True`` (scene: :class:`QuantizedHbmScene`) leaves triangle
     rows in HBM and DMAs each visited leaf into VMEM scratch — the
-    unbounded-scene mode."""
+    unbounded-scene mode.
+
+    ``lean=True`` switches to the PT contract of
+    :func:`trace_packets_pallas_pt` — returns :class:`PTHits` (t, tri, u, v
+    plus diagnostics) with shading deferred to an HBM gather; ``anyhit=True``
+    (requires ``lean``) is occlusion mode with first-hit lane retire and
+    whole-packet early exit. Together these make path tracing (incl. NEE
+    shadow rays and kernel-path texcoords) first-class on scenes past the
+    f32 VMEM budget, at any size the HBM holds."""
     B, _, S, LANES = rays9.shape
     P = S * LANES
+    if anyhit and not lean:
+        raise ValueError("anyhit=True requires lean=True")
     kernel = functools.partial(
         _traverse_kernel_q,
         t_max=float(t_max),
         stack_size=int(stack_size),
         tri_in_hbm=bool(hbm_tris),
+        lean=bool(lean),
+        anyhit=bool(anyhit),
     )
     if live_packets is None:
         live_packets = B
     live = jnp.asarray(live_packets, jnp.int32).reshape(1, 1)
-    tri_space = pltpu.ANY if hbm_tris else pltpu.VMEM
+    tri_space = pl.ANY if hbm_tris else pltpu.VMEM
     scratch = [
         pltpu.SMEM((stack_size,), jnp.int32),
         pltpu.SMEM((stack_size,), jnp.float32),
@@ -997,41 +1070,42 @@ def trace_packets_pallas_q(
             pltpu.VMEM((LEAF_DMA_ROWS, scene.tri_q.shape[1]), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # root (1, 1)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # live_packets (1, 1)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # root_box (1, 6)
-            pl.BlockSpec(
-                scene.node_q.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=tri_space)
-            if hbm_tris
-            else pl.BlockSpec(
-                scene.tri_q.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 9, S, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        ]
-        * 6
-        + [
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        ],
-        scratch_shapes=scratch,
-    )
-    best_t, best_tri, nx, ny, nz, mat, ovf = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_BUDGET,
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # root (1, 1)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # live_packets (1, 1)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # root_box (1, 6)
+        pl.BlockSpec(
+            scene.node_q.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=[
+        pl.BlockSpec(memory_space=tri_space)
+        if hbm_tris
+        else pl.BlockSpec(
+            scene.tri_q.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, 9, S, LANES), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    if lean:
+        out_specs = [
+            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ] * 4 + [
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, LANES), jnp.int32),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ] * 6 + [
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ]
+        out_shape = [
             jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),
             jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
@@ -1039,7 +1113,21 @@ def trace_packets_pallas_q(
             jax.ShapeDtypeStruct((B, S, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, S, LANES), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, LANES), jnp.int32),
-        ],
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET,
+        ),
+        out_shape=out_shape,
         interpret=interpret,
     )(
         scene.root,
@@ -1049,6 +1137,18 @@ def trace_packets_pallas_q(
         scene.tri_q,
         rays9,
     )
+    if lean:
+        best_t, best_tri, u, v, diag = outs
+        return PTHits(
+            t=best_t.reshape(B, P),
+            tri=best_tri.reshape(B, P),
+            u=u.reshape(B, P),
+            v=v.reshape(B, P),
+            overflow=diag[:, 0, 0],
+            inner_visits=diag[:, 0, 1],
+            leaf_tests=diag[:, 0, 2],
+        )
+    best_t, best_tri, nx, ny, nz, mat, ovf = outs
     return KernelHits(
         t=best_t.reshape(B, P),
         tri=best_tri.reshape(B, P),
@@ -1173,24 +1273,83 @@ class PTHits(NamedTuple):
     leaf_tests: jnp.ndarray  # (B,) i32
 
 
+def build_shade_flat(bvh: BvhArrays) -> jnp.ndarray:
+    """The (M*8, 20) f32 HBM-side shading table shared by every lean PT
+    layout: per triangle lane, n0 n1 n2 (9), material (1), uv0 uv1 uv2 (9),
+    pad (1). Flat-shaded triangles get their geometric normal replicated
+    into all three slots (``building.rs:199`` semantics); texcoords
+    interpolate with the kernel barycentrics exactly like the reference's
+    hit finalization (``ray_bvh_intersection.rs:87-93``)."""
+    M = bvh.tri_packets.shape[0]
+    v0 = jnp.asarray(bvh.tri_packets[:, :, 0, :])
+    e1 = jnp.asarray(bvh.tri_packets[:, :, 1, :]) - v0
+    e2 = jnp.asarray(bvh.tri_packets[:, :, 2, :]) - v0
+    vidx = jnp.asarray(bvh.tri_vidx).reshape(M, 8, 3)
+    vnorm = jnp.asarray(bvh.vert_normal)[vidx]  # (M, 8, 3, 3)
+    geom = jnp.cross(e1, e2)  # unnormalized; shade_from_flat normalizes
+    flat = jnp.asarray(bvh.tri_flat).reshape(M, 8)
+    vnorm = jnp.where(flat[..., None, None], geom[:, :, None, :], vnorm)
+    shade = vnorm.reshape(M * 8, 9).astype(jnp.float32)
+    mat = jnp.asarray(bvh.tri_material).reshape(M * 8, 1).astype(jnp.float32)
+    uvs = (
+        jnp.asarray(bvh.vert_uv)[vidx.reshape(M * 8, 3)]
+        .reshape(M * 8, 9)
+        .astype(jnp.float32)
+    )
+    return jnp.concatenate(
+        [shade, mat, uvs, jnp.zeros((M * 8, 1), jnp.float32)], axis=-1
+    )  # (M*8, 20) — row layout; see shade_from_flat for the measured trade
+
+
 def prepare_scene_pt(bvh: BvhArrays) -> PTScene:
     """Derive the lean PT layout from BvhArrays (shares the PallasScene
     node/triangle encodings; adds the flat shading table)."""
     base = prepare_scene(bvh)
-    M = base.tri_shade.shape[0]
-    shade = base.tri_shade.reshape(M * 8, 9)
-    mat = base.tri_data[:, 72:80].reshape(M * 8, 1)
-    vidx = jnp.asarray(bvh.tri_vidx).reshape(M * 8, 3)
-    uvs = jnp.asarray(bvh.vert_uv)[vidx].reshape(M * 8, 9)
-    shade_flat = jnp.concatenate(
-        [shade, mat, uvs, jnp.zeros((M * 8, 1), jnp.float32)], axis=-1
-    )  # (M*8, 20) — row layout; see shade_from_flat for the measured trade
     return PTScene(
         node_box=base.node_box,
         node_links=base.node_links,
         tri_data=base.tri_data,
         root=base.root,
-        shade_flat=shade_flat,
+        shade_flat=build_shade_flat(bvh),
+    )
+
+
+class QPTScene(NamedTuple):
+    """Lean PT layout over the 16-bit quantized traversal arrays — the
+    scalability rungs of :class:`PTScene`. ``tri_q.shape[1] == 128`` marks
+    the HBM-resident triangle variant (rows padded to a full tile, see
+    :class:`QuantizedHbmScene`); 64 means VMEM-resident. ``shade_flat``
+    stays in HBM either way (one row gather per ray, zero VMEM cost), so
+    the full PT feature set (NEE shadow anyhit, texcoords) survives to any
+    scene size the HBM holds — the reference's render-anything-in-RAM
+    property (``building.rs:28-83``) carried to the path tracer."""
+
+    node_q: jnp.ndarray  # (N, 32) i32
+    tri_q: jnp.ndarray  # (M, 64) i32 VMEM-resident, or (M+8, 128) HBM
+    root: jnp.ndarray  # (1, 1) i32
+    root_box: jnp.ndarray  # (1, 6) f32
+    shade_flat: jnp.ndarray  # (M*8, 20) f32, HBM-side
+
+    @property
+    def hbm_tris(self) -> bool:
+        return self.tri_q.shape[1] == 128
+
+    def vmem_bytes(self) -> int:
+        if self.hbm_tris:
+            return self.node_q.shape[0] * 128 * 4 + LEAF_DMA_ROWS * 128 * 4
+        return (self.node_q.shape[0] + self.tri_q.shape[0]) * 128 * 4
+
+
+def prepare_scene_qpt(bvh: BvhArrays, *, hbm_tris: bool = False) -> QPTScene:
+    """Quantized lean-PT scene: the :func:`prepare_scene_quantized` traversal
+    arrays plus the HBM shading table of :func:`build_shade_flat`."""
+    q = prepare_scene_quantized(bvh, hbm_tris=hbm_tris)
+    return QPTScene(
+        node_q=q.node_q,
+        tri_q=q.tri_q,
+        root=q.root,
+        root_box=q.root_box,
+        shade_flat=build_shade_flat(bvh),
     )
 
 

@@ -332,14 +332,53 @@ def shade_from_flat(shade_flat, tri, u, v):
     return normal, row[:, 9].astype(jnp.int32), tex
 
 
+def _trace_pt_any(state, r9, *, stack_size, interpret, live_packets,
+                  t_max=np.inf, anyhit=False, sort_children=True):
+    """Dispatch a lean PT trace to the f32 or quantized kernel by scene
+    type; both return the same :class:`PTHits` contract. QPTScene infers
+    its HBM-vs-VMEM triangle residency from the row width (see
+    ``pallas_kernels.QPTScene``)."""
+    from minipath_tpu.render.pallas_kernels import (
+        QPTScene,
+        trace_packets_pallas_q,
+    )
+
+    if isinstance(state, QPTScene):
+        return trace_packets_pallas_q(
+            state,
+            r9,
+            stack_size=stack_size,
+            t_max=t_max,
+            interpret=interpret,
+            live_packets=live_packets,
+            hbm_tris=state.hbm_tris,
+            lean=True,
+            anyhit=anyhit,
+        )
+    return trace_packets_pallas_pt(
+        state,
+        r9,
+        stack_size=stack_size,
+        t_max=t_max,
+        interpret=interpret,
+        live_packets=live_packets,
+        anyhit=anyhit,
+        sort_children=sort_children,
+    )
+
+
 def make_pt_tracer(
-    scene: PTScene,
+    scene,
     *,
     stack_size: int,
     packet_size: int = 2048,
     interpret: bool = False,
 ):
-    """Tracer over the lean PT kernel (``trace_packets_pallas_pt``).
+    """Tracer over the lean PT kernel (``trace_packets_pallas_pt``), or its
+    quantized / HBM-streamed twins (``trace_packets_pallas_q(lean=True)``)
+    when given a ``QPTScene`` — the one full-featured path at any scene
+    size, like the reference's single traversal
+    (``ray_bvh_intersection.rs:26-96``).
 
     The kernel returns only ``(t, tri, u, v)``; the winner's shading normal,
     material, and texture coordinates come from ONE 80-byte row gather per
@@ -352,12 +391,12 @@ def make_pt_tracer(
     """
     assert packet_size % 128 == 0, packet_size
 
-    def tracer(state: PTScene, origin, direction, inv_direction, live_rays=None):
+    def tracer(state, origin, direction, inv_direction, live_rays=None):
         N = origin.shape[0]
         r9, live_packets, Np = _pack_rays9(
             packet_size, live_rays, origin, direction, inv_direction
         )
-        ph = trace_packets_pallas_pt(
+        ph = _trace_pt_any(
             state,
             r9,
             stack_size=stack_size,
@@ -424,14 +463,20 @@ _SHADOW_T_MAX = 1.0 - 1e-5
 
 
 def make_pt_shadow_tracer(
-    scene: PTScene,
+    scene,
     *,
     stack_size: int,
     packet_size: int = 2048,
     interpret: bool = False,
     sort_children: bool = True,
 ):
-    """Occlusion tracer over the lean PT kernel (anyhit mode).
+    """Occlusion tracer over the lean PT kernel (anyhit mode), or the
+    quantized / HBM-streamed anyhit kernel when given a ``QPTScene``
+    (occlusion then inherits the quantized tolerance: hits within
+    ~box/65535 of the segment end may classify either way). Either way
+    lanes retire on their first hit and fully-occluded packets drop the
+    remaining stack wholesale — NEE shadow rays never pay a closest-hit
+    trace at any scene size.
 
     Returns ``(shadow_fn, scene)`` like the tracer factories;
     ``shadow(state, origin, segment, live_rays=None) -> (N,) bool`` is True
@@ -440,17 +485,17 @@ def make_pt_shadow_tracer(
     ``sort_children`` keeps the near-first push ordering; for anyhit the
     tradeoff differs from closest-hit (lanes retire at the FIRST hit, so
     ordering only matters for how fast occluders are found) — exposed for
-    measurement (tools/sweep_shadow.py).
+    measurement (tools/sweep_shadow.py; f32 kernel only).
     """
     assert packet_size % 128 == 0, packet_size
 
-    def shadow(state: PTScene, origin, segment, live_rays=None):
+    def shadow(state, origin, segment, live_rays=None):
         N = origin.shape[0]
         inv = jnp.where(segment == 0.0, jnp.inf, 1.0 / segment)
         r9, live_packets, Np = _pack_rays9(
             packet_size, live_rays, origin, segment, inv
         )
-        ph = trace_packets_pallas_pt(
+        ph = _trace_pt_any(
             state,
             r9,
             stack_size=stack_size,
@@ -461,40 +506,6 @@ def make_pt_shadow_tracer(
             sort_children=sort_children,
         )
         return ph.tri.reshape(Np)[:N] >= 0
-
-    return shadow, scene
-
-
-def make_q_shadow_tracer(
-    scene,
-    *,
-    stack_size: int,
-    packet_size: int = 2048,
-    interpret: bool = False,
-):
-    """Occlusion tracer over the 16-bit quantized kernel (for scenes past
-    the f32 VMEM budget; same contract as :func:`make_pt_shadow_tracer`).
-    Occlusion inherits the quantized tolerance: hits within ~box/65535 of
-    the segment end may classify either way."""
-    from minipath_tpu.render.pallas_kernels import trace_packets_pallas_q
-
-    assert packet_size % 128 == 0, packet_size
-
-    def shadow(state, origin, segment, live_rays=None):
-        N = origin.shape[0]
-        inv = jnp.where(segment == 0.0, jnp.inf, 1.0 / segment)
-        r9, live_packets, Np = _pack_rays9(
-            packet_size, live_rays, origin, segment, inv
-        )
-        kh = trace_packets_pallas_q(
-            state,
-            r9,
-            stack_size=stack_size,
-            t_max=_SHADOW_T_MAX,
-            interpret=interpret,
-            live_packets=live_packets,
-        )
-        return kh.tri.reshape(Np)[:N] >= 0
 
     return shadow, scene
 

@@ -312,14 +312,26 @@ def build_quantized_scene(arrays) -> QuantizedSceneArrays:
         node_words[n[:, None], 24 + np.arange(8)] = ln.astype(np.int64) & 0xFFFFFFFF
 
         # Children recurse against the DECOMPRESSED boxes (building.rs:149-156).
-        for ki in range(n.shape[0]):
-            for c in range(8):
-                if not valid[ki, c]:
-                    continue
-                box = np.concatenate([dec_min[ki, c], dec_max[ki, c]])
-                r = seed(int(ln[ki, c]), box.astype(np.float32))
-                if r is not None:
-                    frontier.append(r)
+        # Bulk-routed (the per-child Python loop was the scaling wall on
+        # Sponza-class scenes: ~1M children -> minutes of interpreter time).
+        cl = ln[valid].astype(np.int64)  # (K,) child links
+        boxes = np.concatenate(
+            [dec_min[valid], dec_max[valid]], axis=-1
+        ).astype(np.float32)  # (K, 6)
+        counts = cl & L.COUNT_MASK
+        idxs = cl >> L.COUNT_BITS
+        is_leaf = counts != 0
+        lidx, lcnt = idxs[is_leaf], counts[is_leaf]
+        if lidx.size:  # leaves: every packet in the run shares the leaf box
+            offs = np.arange(int(lcnt.sum())) - np.repeat(
+                np.cumsum(lcnt) - lcnt, lcnt
+            )
+            leaf_box[np.repeat(lidx, lcnt) + offs] = np.repeat(
+                boxes[is_leaf], lcnt, axis=0
+            )
+        inner = idxs[~is_leaf]
+        node_box[inner] = boxes[~is_leaf]
+        frontier = inner.tolist()
 
     # ---- triangles: u16 fractions of the decompressed leaf box ------------
     lb_min = leaf_box[:, None, 0:3]  # (M, 1, 3) broadcast over 24 verts

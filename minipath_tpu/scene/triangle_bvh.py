@@ -101,13 +101,31 @@ class TriangleBvh:
     def pt_scene(self):
         """Lean path-tracing kernel layout (lazy): closest-hit only in-kernel,
         shading data via one HBM gather per ray — ~1.8x faster than the full
-        kernel on compacted bounce packets (tools/sweep_pt7.py). Raises like
-        ``prepare_scene`` when the f32 layout exceeds the VMEM budget; use
-        the quantized full kernel then."""
-        if self._pt_scene is None:
-            from minipath_tpu.render.pallas_kernels import prepare_scene_pt
+        kernel on compacted bounce packets (tools/sweep_pt7.py).
 
-            self._pt_scene = prepare_scene_pt(self.arrays)
+        Automatic layout selection mirrors ``pallas_scene``: the f32
+        ``PTScene`` when it fits the kernel's VMEM budget, else the 16-bit
+        quantized ``QPTScene`` (twice the on-chip capacity), else the
+        HBM-streamed ``QPTScene`` (node table only in VMEM; scene size
+        bounded by device memory). All three carry the full PT feature set
+        (anyhit shadows, barycentrics, texcoords via ``shade_flat``) — one
+        path, every feature, any scene that fits memory, like the
+        reference's single traversal (``ray_bvh_intersection.rs:26-96``)."""
+        if self._pt_scene is None:
+            from minipath_tpu.render.pallas_kernels import (
+                prepare_scene_pt,
+                prepare_scene_qpt,
+            )
+
+            try:
+                self._pt_scene = prepare_scene_pt(self.arrays)
+            except ValueError:
+                try:
+                    self._pt_scene = prepare_scene_qpt(self.host_arrays)
+                except ValueError:
+                    self._pt_scene = prepare_scene_qpt(
+                        self.host_arrays, hbm_tris=True
+                    )
         return self._pt_scene
 
     @property

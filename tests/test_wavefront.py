@@ -506,17 +506,19 @@ def test_pallas_shadow_tracer_anyhit_matches_closest(rng):
 
 
 def test_q_shadow_tracer_matches_xla(rng):
-    """Quantized-kernel occlusion agrees with the XLA shadow tracer away
-    from the quantization tolerance band."""
-    from minipath_tpu.render.pallas_kernels import prepare_scene_quantized
+    """Quantized ANYHIT occlusion (make_pt_shadow_tracer dispatching to the
+    lean quantized kernel) agrees with the XLA shadow tracer away from the
+    quantization tolerance band — NEE shadow rays on over-VMEM scenes no
+    longer pay a closest-hit trace."""
+    from minipath_tpu.render.pallas_kernels import prepare_scene_qpt
     from minipath_tpu.render.wavefront import (
-        make_q_shadow_tracer,
+        make_pt_shadow_tracer,
         make_xla_shadow_tracer,
     )
 
     obj, _ = _floor_and_panel_scene()
-    qscene = prepare_scene_quantized(obj.host_arrays)
-    qshadow, _ = make_q_shadow_tracer(
+    qscene = prepare_scene_qpt(obj.host_arrays)
+    qshadow, _ = make_pt_shadow_tracer(
         qscene, stack_size=obj.recommended_stack_size, packet_size=128,
         interpret=True,
     )
