@@ -17,6 +17,13 @@ import time
 DEFAULT_OBJ = "/root/reference/data/teapot.obj"
 
 
+def _positive_int(text: str) -> int:
+    v = int(text)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {v}")
+    return v
+
+
 def _progress_bar(finished: int, total: int, width: int = 40) -> str:
     filled = int(width * finished / total) if total else width
     return "[" + "#" * filled + "-" * (width - filled) + f"] {finished}/{total}"
@@ -52,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=1, help="shard the render across N devices (jax.sharding.Mesh); 0 = all available")
     p.add_argument("--no-compaction", action="store_true", help="path tracer: disable wavefront stream compaction (megakernel mode)")
     p.add_argument("--nee", action="store_true", help="path tracer: next-event estimation (explicit light sampling with MIS; needs emissive materials, e.g. --scene atrium)")
-    p.add_argument("--nee-depth", type=int, default=None, metavar="K", help="path tracer: light-sample only the first K path vertices (unbiased at any K; deeper emitter hits keep full BSDF weight). K=1 is the measured Monte-Carlo-efficiency optimum on the atrium (tools/sweep_pt17.py); default = every vertex")
+    p.add_argument("--nee-depth", type=_positive_int, default=None, metavar="K", help="path tracer: light-sample only the first K path vertices (K >= 1; unbiased at any K; deeper emitter hits keep full BSDF weight). Requires --nee and an emissive scene. The efficiency optimum is light-topology dependent (tools/sweep_pt17.py / sweep_pt19.py); default = every vertex")
     p.add_argument("--no-shadow-rr", action="store_true", help="path tracer: disable shadow-ray Russian roulette (trade NEE speed back for slightly lower variance)")
     p.add_argument("--iid", action="store_true", help="path tracer: reference-style iid sampling instead of per-pixel stratification (for A/B noise comparisons)")
     p.add_argument("--denoise", action="store_true", help="path tracer: edge-avoiding a-trous filter guided by first-hit normals/depth (biased post-process; the saved PNG only)")
@@ -168,7 +175,6 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
     import jax
 
     from minipath_tpu.render.wavefront import (
-        make_pallas_tracer,
         make_pt_shadow_tracer,
         make_pt_tracer,
         make_xla_shadow_tracer,
@@ -198,34 +204,22 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
                 bvh.arrays, stack_size=bvh.recommended_stack_size, packet_size=256
             )
     else:
-        try:
-            # Lean PT kernel: fastest on incoherent bounce packets.
-            tracer, tracer_state = make_pt_tracer(
+        # Lean PT kernel at any scene size: bvh.pt_scene auto-selects the
+        # f32, quantized, or HBM-streamed layout, and make_pt_tracer /
+        # make_pt_shadow_tracer dispatch to the matching kernel — one
+        # full-featured path like the reference's single traversal
+        # (ray_bvh_intersection.rs:26-96).
+        tracer, tracer_state = make_pt_tracer(
+            bvh.pt_scene,
+            stack_size=bvh.recommended_stack_size,
+            packet_size=2048,
+        )
+        if args.nee:
+            shadow_tracer, _ = make_pt_shadow_tracer(
                 bvh.pt_scene,
                 stack_size=bvh.recommended_stack_size,
                 packet_size=2048,
             )
-            if args.nee:
-                shadow_tracer, _ = make_pt_shadow_tracer(
-                    bvh.pt_scene,
-                    stack_size=bvh.recommended_stack_size,
-                    packet_size=2048,
-                )
-        except ValueError:
-            # Scene too big for the f32 VMEM budget: quantized full kernel.
-            from minipath_tpu.render.wavefront import make_q_shadow_tracer
-
-            tracer, tracer_state = make_pallas_tracer(
-                bvh.pallas_scene,
-                stack_size=bvh.recommended_stack_size,
-                packet_size=2048,
-            )
-            if args.nee:
-                shadow_tracer, _ = make_q_shadow_tracer(
-                    bvh.pallas_scene,
-                    stack_size=bvh.recommended_stack_size,
-                    packet_size=2048,
-                )
     lights = None
     if args.nee and shadow_tracer is not None:
         arrays = bvh.host_arrays
@@ -242,6 +236,12 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
     nee_depth = (
         args.nee_depth if args.nee and shadow_tracer is not None else None
     )
+    if args.nee_depth is not None and nee_depth is None:
+        print(
+            "--nee-depth has no effect: requires --nee and an emissive "
+            "scene; rendering without light sampling",
+            file=sys.stderr,
+        )
     t0 = time.time()
     if mesh is not None:
         if args.adaptive:
