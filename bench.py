@@ -267,7 +267,8 @@ def bench_pt(sync):
     paths = W2 * H2 * SPP2
     out = {"workload": f"atrium PT {W2}x{H2} @ {SPP2}spp, {BOUNCES} bounces"}
     # nee_capped: light-sample the first vertex only — the measured
-    # Monte-Carlo-efficiency optimum (tools/sweep_pt17.py), unbiased.
+    # Monte-Carlo-efficiency optimum on the atrium's large visible panels
+    # (tools/sweep_pt17.py; topology-dependent, see sweep_pt19.py), unbiased.
     for name, nee, cap in (
         ("wavefront", False, None),
         ("nee", True, None),
@@ -288,6 +289,105 @@ def bench_pt(sync):
             f"  pt {name}: {arr.mean():.2f}s "
             f"{out[f'{name}_mpaths_per_s']} Mpaths/s"
         )
+
+    # The BASELINE headline config for the north-star integrator:
+    # 1920x1080 @ 64 spp (BASELINE.md "Sponza 1080p/64spp"), wavefront +
+    # capped NEE. samples_per_packet=2 keeps each chunk at ~4.15M rays —
+    # the measured shade-gather HLO-temp sweet spot (shade_from_flat
+    # docstring); 32 chunks accumulate the 64 spp.
+    W3, H3, SPP3 = 1920, 1080, 64
+    sampler3 = cam.build_sampler((W3, H3))
+
+    def frame_1080(k, nee):
+        img = render_frame_pt(
+            tracer, tstate, table, sampler3, k,
+            width=W3, height=H3, spp=SPP3, bounces=BOUNCES,
+            env=Environment.sky(), samples_per_packet=2, compaction=True,
+            lights=lights if nee else None,
+            shadow_tracer=shadow if nee else None,
+            nee_max_depth=1 if nee else None,
+        )
+        return jnp.mean(img[..., :3])
+
+    paths3 = W3 * H3 * SPP3
+    for name, nee, n_timed in (
+        ("pt_1080p64_wavefront", False, 1),
+        ("pt_1080p64_nee_capped", True, 2),
+    ):
+        t0 = time.time()
+        float(np.asarray(frame_1080(key, nee)))
+        log(f"  {name} warmup (incl compile): {time.time()-t0:.1f}s")
+        times = []
+        for i in range(n_timed):
+            t0 = time.time()
+            float(np.asarray(frame_1080(jax.random.fold_in(key, 70 + i), nee)))
+            times.append(time.time() - t0)
+        arr = np.array(times)
+        out[f"{name}_s"] = round(float(arr.mean()), 3)
+        out[f"{name}_mpaths_per_s"] = round(paths3 / arr.mean() / 1e6, 3)
+        log(
+            f"  {name}: {arr.mean():.2f}s "
+            f"{out[f'{name}_mpaths_per_s']} Mpaths/s"
+        )
+    return out
+
+
+def bench_pt_big(sync):
+    """PT past the f32 VMEM budget: the Sponza-scale (>=500k tris) scene
+    through the quantized lean kernel (QPTScene) — the round-4 capability
+    (one full-featured PT path at any scene size, like the reference's
+    single traversal ray_bvh_intersection.rs:26-96)."""
+    import jax
+    import jax.numpy as jnp
+
+    from minipath_tpu.camera import Camera
+    from minipath_tpu.render.pallas_kernels import QPTScene, prepare_scene_qpt
+    from minipath_tpu.render.wavefront import make_pt_tracer, render_frame_pt
+    from minipath_tpu.scene.materials import Environment, lambertian, material_table
+
+    W2, H2, SPP2, BOUNCES = 960, 540, 8, 5
+    result = build_big_scene()
+    scene = prepare_scene_qpt(result.arrays)
+    assert isinstance(scene, QPTScene)
+    stack = result.recommended_stack_size
+    table = material_table([lambertian((0.73, 0.73, 0.73))])
+    tracer, tstate = make_pt_tracer(scene, stack_size=stack, packet_size=2048)
+    cam = (
+        Camera()
+        .look_at((-16.0, 4.0, 0.0), (10.0, 3.0, 0.5))
+        .f_number(8.0)
+        .sensor_width(36e-3)
+    )
+    sampler = cam.build_sampler((W2, H2))
+    key = jax.random.key(0)
+
+    def frame(k):
+        img = render_frame_pt(
+            tracer, tstate, table, sampler, k,
+            width=W2, height=H2, spp=SPP2, bounces=BOUNCES,
+            env=Environment.sky(), samples_per_packet=SPP2, compaction=True,
+        )
+        return jnp.mean(img[..., :3])
+
+    t0 = time.time()
+    float(np.asarray(frame(key)))
+    log(f"  pt big (quantized lean) warmup: {time.time()-t0:.1f}s")
+    times = []
+    for i in range(2):
+        t0 = time.time()
+        float(np.asarray(frame(jax.random.fold_in(key, 60 + i))))
+        times.append(time.time() - t0)
+    arr = np.array(times)
+    paths = W2 * H2 * SPP2
+    out = {
+        "workload": f"big atrium PT (quantized lean kernel) "
+        f"{result.triangle_count} tris, {W2}x{H2} @ {SPP2}spp, {BOUNCES} bounces",
+        "triangle_count": result.triangle_count,
+        "mean_s": round(float(arr.mean()), 3),
+        "mpaths_per_s": round(paths / arr.mean() / 1e6, 3),
+        "vmem_mb": round(scene.vmem_bytes() / 1e6, 1),
+    }
+    log(f"  pt big: {arr.mean():.2f}s {out['mpaths_per_s']} Mpaths/s")
     return out
 
 
@@ -442,12 +542,21 @@ def main() -> int:
         log(f"big-scene bench failed: {e!r}")
         big = {"error": repr(e)}
 
-    # Side measurement: the north-star path tracer (wavefront + NEE).
+    # Side measurement: the north-star path tracer (wavefront + NEE),
+    # including the BASELINE headline config (1080p @ 64 spp).
     try:
         pt = bench_pt(sync)
     except Exception as e:
         log(f"pt bench failed: {e!r}")
         pt = {"error": repr(e)}
+
+    # Side measurement: PT on the Sponza-scale scene via the quantized
+    # lean kernel (past the f32 VMEM budget).
+    try:
+        pt_big = bench_pt_big(sync)
+    except Exception as e:
+        log(f"pt big bench failed: {e!r}")
+        pt_big = {"error": repr(e)}
 
     extra = {
         "workload": f"atrium-from-OBJ {result.triangle_count} tris, "
@@ -462,6 +571,7 @@ def main() -> int:
         },
         "big_scene": big,
         "pt": pt,
+        "pt_big_scene": pt_big,
     }
     from minipath_tpu.utils.calibrate import device_health
 
@@ -480,7 +590,8 @@ def main() -> int:
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / TARGET_MRAYS, 3),
     }
-    # Surface the north-star integrator in the driver line too.
+    # Surface the north-star integrator in the driver line too, including
+    # the BASELINE headline config (1080p @ 64 spp).
     for k in (
         "wavefront_mpaths_per_s",
         "nee_mpaths_per_s",
@@ -488,6 +599,16 @@ def main() -> int:
     ):
         if k in pt:
             line[f"pt_{k}"] = pt[k]
+    for k in (
+        "pt_1080p64_wavefront_s",
+        "pt_1080p64_wavefront_mpaths_per_s",
+        "pt_1080p64_nee_capped_s",
+        "pt_1080p64_nee_capped_mpaths_per_s",
+    ):
+        if k in pt:
+            line[k] = pt[k]
+    if "mpaths_per_s" in pt_big:
+        line["pt_big_scene_mpaths_per_s"] = pt_big["mpaths_per_s"]
     print(json.dumps(line))
     return 0
 

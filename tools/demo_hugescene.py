@@ -167,6 +167,52 @@ def main():
         "xla_engine_mrays_per_s": round(xla_rate, 2),
         "hbm_vs_xla": round(mrays / max(xla_rate, 1e-9), 1),
     }
+
+    # A PATH-TRACED frame on the same HBM-streamed scene (the round-3 gap:
+    # the 5M-tri rung had never run a path-traced frame). QPTScene = the
+    # same traversal arrays + HBM shade table; the lean anyhit/uv kernel
+    # carries the full PT contract at this size.
+    try:
+        from minipath_tpu.render.pallas_kernels import prepare_scene_qpt
+        from minipath_tpu.render.wavefront import make_pt_tracer, render_frame_pt
+        from minipath_tpu.scene.materials import (
+            Environment,
+            lambertian,
+            material_table,
+        )
+
+        qpt = prepare_scene_qpt(result.arrays, hbm_tris=True)
+        table = material_table([lambertian((0.73, 0.73, 0.73))])
+        tracer, tstate = make_pt_tracer(qpt, stack_size=stack, packet_size=2048)
+        PW, PH, PSPP, PB = 960, 540, 4, 4
+        psampler = camera.build_sampler((PW, PH))
+
+        def pt_frame(k):
+            img = render_frame_pt(
+                tracer, tstate, table, psampler, k,
+                width=PW, height=PH, spp=PSPP, bounces=PB,
+                env=Environment.sky(), samples_per_packet=PSPP,
+                compaction=True,
+            )
+            return float(np.asarray(jnp.mean(img[..., :3])))
+
+        t0 = time.time()
+        mean_rgb = pt_frame(key)
+        log(f"pt warmup: {time.time()-t0:.1f}s mean={mean_rgb:.4f}")
+        t0 = time.time()
+        mean_rgb = pt_frame(jax.random.fold_in(key, 99))
+        pt_s = time.time() - t0
+        out["pt_frame"] = {
+            "workload": f"{PW}x{PH} @ {PSPP}spp, {PB} bounces, "
+            "quantized lean kernel (HBM tris)",
+            "seconds": round(pt_s, 3),
+            "mpaths_per_s": round(PW * PH * PSPP / pt_s / 1e6, 3),
+            "mean_rgb": round(mean_rgb, 5),
+        }
+        log(f"pt frame: {pt_s:.2f}s ({out['pt_frame']['mpaths_per_s']} Mpaths/s)")
+    except Exception as e:
+        out["pt_frame"] = {"error": repr(e)[:500]}
+        log(f"pt frame failed: {e!r}")
     with open(os.path.join(REPO, "BENCH_huge.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
