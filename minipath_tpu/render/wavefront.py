@@ -664,6 +664,8 @@ def _compact(state: _PathState, fine_direction: bool = True) -> _PathState:
         "shadow_rr",
         "nee_max_depth",
         "rr_start",
+        "rr_floor",
+        "min_live_frac",
         "strat_spp",
         "with_sumsq",
         "clamp",
@@ -689,6 +691,8 @@ def _pt_chunk(
     shadow_rr: bool = True,
     nee_max_depth: int | None = None,
     rr_start: int = 3,
+    rr_floor: float = 0.05,
+    min_live_frac: float | None = None,
     strat_spp: int | None = None,
     strat_offset=0,
     strat_seed=0,
@@ -708,6 +712,7 @@ def _pt_chunk(
         tracer=tracer, samples=samples, bounces=bounces, compaction=compaction,
         lights=lights, shadow_tracer=shadow_tracer, shadow_sort=shadow_sort,
         shadow_rr=shadow_rr, nee_max_depth=nee_max_depth, rr_start=rr_start,
+        rr_floor=rr_floor, min_live_frac=min_live_frac,
         strat_spp=strat_spp, strat_offset=strat_offset, strat_seed=strat_seed,
         with_sumsq=with_sumsq, clamp=clamp,
     )
@@ -730,6 +735,8 @@ def _pt_trace(
     shadow_rr: bool = True,
     nee_max_depth: int | None = None,
     rr_start: int = 3,
+    rr_floor: float = 0.05,
+    min_live_frac: float | None = None,
     strat_spp: int | None = None,
     strat_offset=0,
     strat_seed=0,
@@ -784,6 +791,19 @@ def _pt_trace(
             # Dead rays are now a suffix; tell the tracer the live count so
             # whole-dead packets exit early in-kernel.
             live = jnp.sum(state.active.astype(jnp.int32))
+            if min_live_frac is not None:
+                # Wavefront tail cutoff (OPT-IN, biased): once the live
+                # fraction drops below the threshold, retire the whole
+                # wavefront. The remaining paths' future contribution is
+                # dropped — unlike per-ray roulette there is no reweighting
+                # (all-or-nothing survival of the tail would spike variance
+                # instead). The traced live count feeds the kernels'
+                # early-exit, so the cut needs NO host sync; it trims the
+                # per-bounce fixed overhead (XLA glue + compaction sort)
+                # that dominates once traversal has compacted away.
+                cut = live < jnp.int32(min_live_frac * N)
+                state = state._replace(active=state.active & ~cut)
+                live = jnp.where(cut, jnp.int32(0), live)
         kh = tracer(
             tracer_state, state.origin, state.direction, state.inv_direction, live
         )
@@ -1012,7 +1032,7 @@ def _pt_trace(
         # pallas_kernels.py shows traversal itself is within ~20% of its
         # union-bound floor, so fewer rays is the remaining lever).
         if bounce >= rr_start:
-            p_continue = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            p_continue = jnp.clip(jnp.max(throughput, axis=-1), rr_floor, 1.0)
             rr = jax.random.uniform(jax.random.fold_in(bkey, 7), active.shape)
             survived = rr < p_continue
             throughput = jnp.where(
@@ -1077,6 +1097,8 @@ def make_pt_renderer_sharded(
     shadow_rr: bool = True,
     nee_max_depth: int | None = None,
     rr_start: int = 3,
+    rr_floor: float = 0.05,
+    min_live_frac: float | None = None,
     stratify: bool = True,
 ):
     """Multi-chip wavefront path tracer over a 1-D device mesh.
@@ -1120,7 +1142,8 @@ def make_pt_renderer_sharded(
             compaction=compaction,
             lights=lights_arg, shadow_tracer=shadow_tracer,
             shadow_rr=shadow_rr, nee_max_depth=nee_max_depth,
-            rr_start=rr_start,
+            rr_start=rr_start, rr_floor=rr_floor,
+            min_live_frac=min_live_frac,
             strat_spp=strat_spp, strat_offset=strat_offset,
             strat_seed=strat_seed,
         )
@@ -1189,6 +1212,8 @@ def render_frame_pt(
     shadow_rr: bool = True,
     nee_max_depth: int | None = None,
     rr_start: int = 3,
+    rr_floor: float = 0.05,
+    min_live_frac: float | None = None,
     stratify: bool = True,
     strat_total: int | None = None,
     strat_offset: int = 0,
@@ -1210,7 +1235,13 @@ def render_frame_pt(
     ``rr_start`` is the first bounce at which path Russian roulette may
     kill a ray (survival probability = max throughput channel, survivors
     reweighted — unbiased at any setting); lower values trade deep-bounce
-    trace time for variance.
+    trace time for variance. ``rr_floor`` is the survival-probability
+    floor (default 0.05): raising it kills dim paths more aggressively —
+    still unbiased, faster, higher variance (tools/sweep_rr2.py measures
+    the efficiency optimum). ``min_live_frac`` (opt-in, BIASED) retires
+    the whole wavefront once fewer than that fraction of paths remain
+    live — it drops the tail's remaining contribution to skip per-bounce
+    fixed overhead; leave ``None`` for exact results.
     ``stratify`` (default on) draws the film/lens, BSDF, and light-sample
     dimensions from per-pixel jittered strata spanning the full ``spp``
     (:mod:`minipath_tpu.render.stratify`) — identical estimator mean,
@@ -1264,6 +1295,8 @@ def render_frame_pt(
             shadow_rr=shadow_rr,
             nee_max_depth=nee_max_depth,
             rr_start=rr_start,
+            rr_floor=rr_floor,
+            min_live_frac=min_live_frac,
             strat_spp=(strat_total or spp) if stratify else None,
             strat_offset=jnp.int32(strat_offset + done),
             strat_seed=strat_seed,

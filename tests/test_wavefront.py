@@ -157,6 +157,59 @@ class TestAnalytic:
         ]
         np.testing.assert_allclose(means[0], means[1], rtol=0.05)
 
+    def test_rr_floor_and_tail_cutoff(self):
+        """rr_floor changes the kill pattern but not the mean (survivors
+        are reweighted by 1/p — unbiased at any floor); min_live_frac only
+        REMOVES radiance (it drops the tail's remaining contribution —
+        biased low by construction); defaults stay bit-identical when
+        passed explicitly.
+
+        The scene must keep paths alive across bounces for the levers to
+        have anything to act on (a lone floor plane retires every path at
+        bounce 1): an open-box interior — rays bounce between five diffuse
+        faces and escape through the missing +z face to the sky."""
+        from minipath_tpu.scene.procedural import make_cube
+        from minipath_tpu.scene.triangle_bvh import TriangleBvh
+
+        mesh = make_cube(4.0)
+        keep = ~(mesh.positions[mesh.triangles][:, :, 2] > 1.9).all(axis=1)
+        mesh.triangles = mesh.triangles[keep]
+        obj = TriangleBvh.build(
+            mesh, materials=np.zeros(mesh.triangle_count, np.int32)
+        )
+        table = material_table([lambertian((0.6, 0.6, 0.6))])
+        sampler = (
+            Camera().look_direction((0, 0, 0), (0, 0, -1), (0, 1, 0))
+            .build_sampler((16, 16))
+        )
+        kw = dict(
+            width=16, height=16, spp=32, bounces=6, env=Environment.sky(),
+            px_block=(16, 16), samples_per_packet=8, rr_start=1,
+        )
+        tr, tr_state = _tracer(obj)
+        a = np.asarray(render_frame_pt(
+            tr, tr_state, table, sampler, jax.random.key(5), **kw))
+        a2 = np.asarray(render_frame_pt(
+            tr, tr_state, table, sampler, jax.random.key(5),
+            rr_floor=0.05, min_live_frac=None, **kw))
+        np.testing.assert_array_equal(a, a2)
+        b = np.asarray(render_frame_pt(
+            tr, tr_state, table, sampler, jax.random.key(5),
+            rr_floor=0.9, **kw))
+        assert not np.array_equal(a, b)
+        np.testing.assert_allclose(
+            a[..., :3].mean(), b[..., :3].mean(), rtol=0.05
+        )
+        c = np.asarray(render_frame_pt(
+            tr, tr_state, table, sampler, jax.random.key(5),
+            min_live_frac=0.25, **kw))
+        assert (c[..., :3] <= a[..., :3] + 1e-6).all()
+        removed = 1.0 - c[..., :3].mean() / a[..., :3].mean()
+        # The cut really fired, and the removal is the tail's share — on
+        # this enclosed multi-bounce box that is a sizeable chunk (~23%),
+        # which is exactly why the lever is opt-in and documented biased.
+        assert 0.0 < removed < 0.4, removed
+
 
 class TestScatter:
     def test_lambertian_hemisphere(self, rng):

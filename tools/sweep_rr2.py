@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Fewer-rays levers: roulette start/floor and the wavefront tail cutoff.
+
+The oracle-ceiling measurements (pallas_kernels.py section comment) put
+traversal within ~20% of its union-bound floor, so the remaining PT
+throughput lever is tracing FEWER rays. Three knobs do that:
+
+  rr_start   first bounce where path roulette may kill (unbiased)
+  rr_floor   survival-probability floor; higher kills dim paths harder
+             (unbiased — survivors reweighted by 1/p)
+  min_live_frac  whole-wavefront tail cutoff (BIASED: drops the remaining
+             contribution once the live fraction falls below the
+             threshold; trades correctness for the per-bounce fixed cost)
+
+This sweep measures each config on the production NEE workload (atrium,
+960x540 @ 8spp, 5 bounces, nee_max_depth=1): wall-clock across seeds,
+estimator mean, per-pixel variance across seeds, and Monte-Carlo
+efficiency 1/(var x time). For the biased cutoff rows it additionally
+reports the mean shift vs the exact baseline (in % of the baseline mean)
+— a cutoff is only shippable as default if that shift is indistinguishable
+from zero, which this records either way.
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/sweep_rr2.py
+Writes SWEEP_RR.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+from minipath_tpu.camera import Camera
+from minipath_tpu.render.pallas_kernels import prepare_scene_pt
+from minipath_tpu.render.wavefront import (
+    make_pt_shadow_tracer,
+    make_pt_tracer,
+    render_frame_pt,
+)
+from minipath_tpu.scene.materials import Environment, build_light_table
+from minipath_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_pt import build_scene
+
+W, H, SPP, BOUNCES = 960, 540, 8, 5
+SEEDS = 6
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (rr_start, rr_floor, min_live_frac); first row = shipped baseline.
+CONFIGS = [
+    (3, 0.05, None),
+    (2, 0.05, None),
+    (1, 0.05, None),
+    (3, 0.25, None),
+    (3, 0.50, None),
+    (2, 0.25, None),
+    (3, 0.05, 0.02),
+    (3, 0.05, 0.05),
+]
+
+
+def main():
+    res, table = build_scene()
+    scene = prepare_scene_pt(res.as_device())
+    stack = res.recommended_stack_size
+    tracer, tstate = make_pt_tracer(scene, stack_size=stack, packet_size=2048)
+    shadow, _ = make_pt_shadow_tracer(scene, stack_size=stack, packet_size=2048)
+    lights = build_light_table(res.arrays.tri_packets, res.arrays.tri_material, table)
+    cam = (Camera().look_at((-16.0, 4.0, 0.0), (10.0, 3.0, 0.5))
+           .f_number(8.0).sensor_width(36e-3))
+    sampler = cam.build_sampler((W, H))
+    key = jax.random.key(0)
+
+    rows = []
+    for rs, fl, mlf in CONFIGS:
+        def frame(k):
+            img = render_frame_pt(
+                tracer, tstate, table, sampler, k,
+                width=W, height=H, spp=SPP, bounces=BOUNCES,
+                env=Environment.sky(), samples_per_packet=SPP,
+                compaction=True, lights=lights, shadow_tracer=shadow,
+                nee_max_depth=1, rr_start=rs, rr_floor=fl,
+                min_live_frac=mlf,
+            )
+            return np.asarray(img[..., :3])
+
+        t0 = time.time()
+        imgs = [frame(key)]
+        print(f"rs={rs} fl={fl} mlf={mlf}: warmup {time.time()-t0:.1f}s",
+              flush=True)
+        times = []
+        for i in range(SEEDS - 1):
+            t0 = time.time()
+            imgs.append(frame(jax.random.fold_in(key, 40 + i)))
+            times.append(time.time() - t0)
+        stack_i = np.stack(imgs)
+        mean = float(stack_i.mean())
+        var = float(stack_i.var(axis=0).mean())
+        t = float(np.mean(times))
+        eff = 1.0 / (var * t) if var > 0 else float("inf")
+        rows.append({
+            "rr_start": rs, "rr_floor": fl, "min_live_frac": mlf,
+            "s_per_frame": round(t, 3), "mean": round(mean, 5),
+            "var": var, "eff": eff,
+        })
+        print(
+            f"rs={rs} fl={fl} mlf={mlf}: {t:.3f}s/frame mean={mean:.4f} "
+            f"var={var:.3e} eff={eff:.1f}",
+            flush=True,
+        )
+
+    base = rows[0]
+    print("\nrs  floor  mlf    time   mean    var        eff (vs baseline)  "
+          "mean shift")
+    for r in rows:
+        r["efficiency_vs_baseline"] = round(r["eff"] / base["eff"], 3)
+        r["mean_shift_pct"] = round(
+            100.0 * (r["mean"] - base["mean"]) / max(base["mean"], 1e-9), 3
+        )
+        print(
+            f"{r['rr_start']}  {r['rr_floor']:5.2f}  {str(r['min_live_frac']):>5}"
+            f"  {r['s_per_frame']:6.3f}  {r['mean']:.4f}  {r['var']:.3e}"
+            f"  {r['efficiency_vs_baseline']:5.2f}x  {r['mean_shift_pct']:+.2f}%"
+        )
+        del r["eff"]
+    # Unbiased rows must agree with the baseline mean within MC noise.
+    for r in rows:
+        if r["min_live_frac"] is None:
+            assert abs(r["mean_shift_pct"]) < 2.0, r
+
+    out = {
+        "workload": f"atrium NEE(cap=1) {W}x{H} @ {SPP}spp, {BOUNCES} bounces,"
+        f" {SEEDS} seeds",
+        "rows": rows,
+    }
+    with open(os.path.join(REPO, "SWEEP_RR.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)
