@@ -168,8 +168,14 @@ def render_frame_pt_adaptive(
 
     lum = jnp.einsum("bpc,c->bp", psum, jnp.asarray(LUMA_WEIGHTS))
     var_px = (psumsq - lum * lum / pilot_spp) / max(pilot_spp - 1, 1)
+    # Optimal allocation for the FRAME's MSE: minimizing
+    # sum_b (sum_px var_px) / n_b under a fixed budget puts
+    # n_b proportional to sqrt(packet total variance) — the L2 norm of the
+    # per-pixel sigmas, NOT their mean. The distinction matters exactly
+    # when noise concentrates within a packet (a few hot pixels in a
+    # mostly-smooth block): L1 under-weights those packets.
     sigma_b = np.asarray(
-        jnp.mean(jnp.sqrt(jnp.maximum(var_px, 0.0)), axis=1)
+        jnp.sqrt(jnp.mean(jnp.maximum(var_px, 0.0), axis=1))
     )  # (B,)
 
     # Integer chunk allocation, proportional to sigma with a 1-chunk floor,

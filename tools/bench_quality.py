@@ -121,9 +121,86 @@ def sphere_adaptive_section():
     print("appended adaptive_concentrated_noise", flush=True)
 
 
+def tworooms_adaptive_section():
+    """Adaptive-vs-uniform where noise is GENUINELY concentrated and
+    unconverged: the two-rooms scene (make_tworooms) from the camera room —
+    most of the frame is near-black walls with near-zero variance, all the
+    noise lives in the doorway + light spill. BSDF-only (no NEE) keeps the
+    noise high at the tested budgets. This is the scene class adaptive
+    sampling exists for; variants measure the allocator levers (pilot
+    size, allocation granularity via px_block). Appends to QUALITY.json."""
+    from minipath_tpu.scene.procedural import make_tworooms, tworooms_materials
+    from minipath_tpu.scene.triangle_bvh import TriangleBvh
+
+    mesh = make_tworooms(40_000)
+    mats, dicts = tworooms_materials(mesh)
+    table = material_table(dicts)
+    obj = TriangleBvh.build(mesh, materials=mats)
+    tracer, tstate = make_xla_tracer(
+        obj.arrays, stack_size=obj.recommended_stack_size, packet_size=256
+    )
+    cam = (Camera().look_at((-10.0, 3.0, 0.0), (0.0, 1.5, 0.0))
+           .f_number(8.0).sensor_width(36e-3))
+    W2, H2 = 128, 96
+    sampler = cam.build_sampler((W2, H2))
+    kw = dict(
+        width=W2, height=H2, bounces=6, env=Environment.none(),
+    )
+
+    def uni(seed, spp):
+        return np.asarray(render_frame_pt(
+            tracer, tstate, table, sampler, jax.random.key(seed),
+            spp=spp, samples_per_packet=min(8, spp), px_block=(16, 16), **kw,
+        ))[..., :3]
+
+    def ada(seed, spp, pilot, chunk, pb):
+        return np.asarray(render_frame_pt_adaptive(
+            tracer, tstate, table, sampler, jax.random.key(seed),
+            spp=spp, pilot_spp=pilot, samples_per_packet=chunk,
+            px_block=(pb, pb), **kw,
+        ))[..., :3]
+
+    print("tworooms reference (512 spp)...", flush=True)
+    ref = np.mean([uni(990 + i, 256) for i in range(2)], axis=0)
+    rows = []
+    for budget in (12, 24):
+        r_uni = np.mean([rmse(uni(30 + i, budget), ref) for i in range(3)])
+        row = {"avg_spp": budget, "rmse_uniform": round(float(r_uni), 5)}
+        for name, pilot, chunk, pb in (
+            ("p2_px16", 2, 8, 16),
+            ("p4_px16", 4, 8, 16),
+            ("p4_px8", 4, 4, 8),
+        ):
+            r_ada = np.mean([
+                rmse(ada(30 + i, budget, pilot, chunk, pb), ref)
+                for i in range(3)
+            ])
+            row[f"rmse_adaptive_{name}"] = round(float(r_ada), 5)
+            row[f"mse_ratio_uniform_over_adaptive_{name}"] = round(
+                float((r_uni / r_ada) ** 2), 3
+            )
+            print(f"tworooms budget={budget} {name}: uniform {r_uni:.5f} "
+                  f"vs adaptive {r_ada:.5f} "
+                  f"(x{row[f'mse_ratio_uniform_over_adaptive_{name}']})",
+                  flush=True)
+        rows.append(row)
+    path = os.path.join(REPO, "QUALITY.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data["adaptive_tworooms_concentrated"] = {
+        "workload": f"tworooms (dark room, lit doorway) {W2}x{H2}, 6 bounces,"
+                    " BSDF-only, reference 2x256 spp",
+        "rows": rows,
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
+    print("appended adaptive_tworooms_concentrated", flush=True)
+
+
 def main():
     if "--sphere-only" in sys.argv:
         return sphere_adaptive_section()
+    if "--tworooms-only" in sys.argv:
+        return tworooms_adaptive_section()
     adaptive_only = "--atrium-adaptive-only" in sys.argv
     mesh = make_atrium(60_000)
     mats, dicts = atrium_materials(mesh)
