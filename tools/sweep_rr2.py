@@ -65,12 +65,21 @@ CONFIGS = [
 
 
 def main():
+    bsdf_only = "--bsdf-only" in sys.argv
     res, table = build_scene()
     scene = prepare_scene_pt(res.as_device())
     stack = res.recommended_stack_size
     tracer, tstate = make_pt_tracer(scene, stack_size=stack, packet_size=2048)
-    shadow, _ = make_pt_shadow_tracer(scene, stack_size=stack, packet_size=2048)
-    lights = build_light_table(res.arrays.tri_packets, res.arrays.tri_material, table)
+    if bsdf_only:
+        shadow, lights, cap = None, None, None
+    else:
+        shadow, _ = make_pt_shadow_tracer(
+            scene, stack_size=stack, packet_size=2048
+        )
+        lights = build_light_table(
+            res.arrays.tri_packets, res.arrays.tri_material, table
+        )
+        cap = 1
     cam = (Camera().look_at((-16.0, 4.0, 0.0), (10.0, 3.0, 0.5))
            .f_number(8.0).sensor_width(36e-3))
     sampler = cam.build_sampler((W, H))
@@ -84,7 +93,7 @@ def main():
                 width=W, height=H, spp=SPP, bounces=BOUNCES,
                 env=Environment.sky(), samples_per_packet=SPP,
                 compaction=True, lights=lights, shadow_tracer=shadow,
-                nee_max_depth=1, rr_start=rs, rr_floor=fl,
+                nee_max_depth=cap, rr_start=rs, rr_floor=fl,
                 min_live_frac=mlf,
             )
             return np.asarray(img[..., :3])
@@ -133,13 +142,17 @@ def main():
         if r["min_live_frac"] is None:
             assert abs(r["mean_shift_pct"]) < 2.0, r
 
+    mode = "wavefront (BSDF-only)" if bsdf_only else "NEE(cap=1)"
     out = {
-        "workload": f"atrium NEE(cap=1) {W}x{H} @ {SPP}spp, {BOUNCES} bounces,"
+        "workload": f"atrium {mode} {W}x{H} @ {SPP}spp, {BOUNCES} bounces,"
         f" {SEEDS} seeds",
         "rows": rows,
     }
-    with open(os.path.join(REPO, "SWEEP_RR.json"), "w") as f:
-        json.dump(out, f, indent=2)
+    path = os.path.join(REPO, "SWEEP_RR.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data["wavefront" if bsdf_only else "nee_capped"] = out
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
     print(json.dumps(out))
 
 
