@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nee", action="store_true", help="path tracer: next-event estimation (explicit light sampling with MIS; needs emissive materials, e.g. --scene atrium)")
     p.add_argument("--nee-depth", type=_positive_int, default=None, metavar="K", help="path tracer: light-sample only the first K path vertices (K >= 1; unbiased at any K; deeper emitter hits keep full BSDF weight). Requires --nee and an emissive scene. The efficiency optimum is light-topology dependent (tools/sweep_pt17.py / sweep_pt19.py); default = every vertex")
     p.add_argument("--no-shadow-rr", action="store_true", help="path tracer: disable shadow-ray Russian roulette (trade NEE speed back for slightly lower variance)")
+    p.add_argument("--rr-start", type=_positive_int, default=3, metavar="B", help="path tracer: first bounce at which path Russian roulette may kill (unbiased at any setting; lower = faster, noisier — efficiency sweep in tools/sweep_rr2.py)")
+    p.add_argument("--rr-floor", type=float, default=0.05, metavar="P", help="path tracer: roulette survival-probability floor (unbiased; raising it kills dim paths harder)")
+    p.add_argument("--tail-cut", type=float, default=None, metavar="F", help="path tracer: retire the whole wavefront once fewer than F of its paths are live (BIASED — drops the tail's remaining contribution; off by default)")
     p.add_argument("--iid", action="store_true", help="path tracer: reference-style iid sampling instead of per-pixel stratification (for A/B noise comparisons)")
     p.add_argument("--denoise", action="store_true", help="path tracer: edge-avoiding a-trous filter guided by first-hit normals/depth (biased post-process; the saved PNG only)")
     p.add_argument("--aov", metavar="PREFIX", default=None, help="path tracer: also write first-hit AOVs <PREFIX>_normal.png and <PREFIX>_depth.png")
@@ -268,6 +271,9 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             shadow_tracer=shadow_tracer,
             shadow_rr=not args.no_shadow_rr,
             nee_max_depth=nee_depth,
+            rr_start=args.rr_start,
+            rr_floor=args.rr_floor,
+            min_live_frac=args.tail_cut,
             stratify=not args.iid,
         )
         img = renderer(
@@ -302,6 +308,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             shadow_tracer=shadow_tracer,
             shadow_rr=not args.no_shadow_rr,
             nee_max_depth=nee_depth,
+            rr_start=args.rr_start,
             stratify=not args.iid,
         )
     else:
@@ -322,6 +329,9 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             shadow_tracer=shadow_tracer,
             shadow_rr=not args.no_shadow_rr,
             nee_max_depth=nee_depth,
+            rr_start=args.rr_start,
+            rr_floor=args.rr_floor,
+            min_live_frac=args.tail_cut,
             stratify=not args.iid,
             return_variance=args.denoise and args.spp >= 2,
             clamp=args.clamp,
