@@ -62,7 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nee-depth", type=_positive_int, default=None, metavar="K", help="path tracer: light-sample only the first K path vertices (K >= 1; unbiased at any K; deeper emitter hits keep full BSDF weight). Requires --nee and an emissive scene. The efficiency optimum is light-topology dependent (tools/sweep_pt17.py / sweep_pt19.py); default = every vertex")
     p.add_argument("--no-shadow-rr", action="store_true", help="path tracer: disable shadow-ray Russian roulette (trade NEE speed back for slightly lower variance)")
     p.add_argument("--rr-start", type=_positive_int, default=3, metavar="B", help="path tracer: first bounce at which path Russian roulette may kill (unbiased at any setting; lower = faster, noisier — efficiency sweep in tools/sweep_rr2.py)")
-    p.add_argument("--rr-floor", type=float, default=0.05, metavar="P", help="path tracer: roulette survival-probability floor (unbiased; raising it kills dim paths harder)")
+    p.add_argument("--rr-floor", type=float, default=0.05, metavar="P", help="path tracer: roulette survival-probability floor (unbiased; raising it makes roulette gentler — more rays, less noise; 1.0 disables it)")
     p.add_argument("--tail-cut", type=float, default=None, metavar="F", help="path tracer: retire the whole wavefront once fewer than F of its paths are live (BIASED — drops the tail's remaining contribution; off by default)")
     p.add_argument("--iid", action="store_true", help="path tracer: reference-style iid sampling instead of per-pixel stratification (for A/B noise comparisons)")
     p.add_argument("--denoise", action="store_true", help="path tracer: edge-avoiding a-trous filter guided by first-hit normals/depth (biased post-process; the saved PNG only)")

@@ -1236,9 +1236,10 @@ def render_frame_pt(
     kill a ray (survival probability = max throughput channel, survivors
     reweighted — unbiased at any setting); lower values trade deep-bounce
     trace time for variance. ``rr_floor`` is the survival-probability
-    floor (default 0.05): raising it kills dim paths more aggressively —
-    still unbiased, faster, higher variance (tools/sweep_rr2.py measures
-    the efficiency optimum). ``min_live_frac`` (opt-in, BIASED) retires
+    floor (default 0.05): raising it makes the roulette GENTLER — dim
+    paths survive at least that often (reweighted, still unbiased), so
+    more rays trace but variance drops (tools/sweep_rr2.py measures the
+    efficiency trade). ``min_live_frac`` (opt-in, BIASED) retires
     the whole wavefront once fewer than that fraction of paths remain
     live — it drops the tail's remaining contribution to skip per-bounce
     fixed overhead; leave ``None`` for exact results.

@@ -6,8 +6,9 @@ traversal within ~20% of its union-bound floor, so the remaining PT
 throughput lever is tracing FEWER rays. Three knobs do that:
 
   rr_start   first bounce where path roulette may kill (unbiased)
-  rr_floor   survival-probability floor; higher kills dim paths harder
-             (unbiased — survivors reweighted by 1/p)
+  rr_floor   survival-probability floor; HIGHER = gentler roulette (dim
+             paths survive at least that often, reweighted — unbiased);
+             floor 1.0 disables path roulette entirely
   min_live_frac  whole-wavefront tail cutoff (BIASED: drops the remaining
              contribution once the live fraction falls below the
              threshold; trades correctness for the per-bounce fixed cost)
@@ -65,7 +66,14 @@ CONFIGS = [
 
 
 def main():
+    global CONFIGS
     bsdf_only = "--bsdf-only" in sys.argv
+    if "--floors" in sys.argv:
+        # Extension run: sweep additional survival floors at the shipped
+        # rr_start; rows are APPENDED to the workload's existing grid.
+        floors = [float(x) for x in
+                  sys.argv[sys.argv.index("--floors") + 1].split(",")]
+        CONFIGS = [(3, f, None) for f in floors]
     res, table = build_scene()
     scene = prepare_scene_pt(res.as_device())
     stack = res.recommended_stack_size
@@ -123,13 +131,13 @@ def main():
             flush=True,
         )
 
-    base = rows[0]
+    base_eff, base_mean = rows[0]["eff"], rows[0]["mean"]
     print("\nrs  floor  mlf    time   mean    var        eff (vs baseline)  "
           "mean shift")
     for r in rows:
-        r["efficiency_vs_baseline"] = round(r["eff"] / base["eff"], 3)
+        r["efficiency_vs_baseline"] = round(r["eff"] / base_eff, 3)
         r["mean_shift_pct"] = round(
-            100.0 * (r["mean"] - base["mean"]) / max(base["mean"], 1e-9), 3
+            100.0 * (r["mean"] - base_mean) / max(base_mean, 1e-9), 3
         )
         print(
             f"{r['rr_start']}  {r['rr_floor']:5.2f}  {str(r['min_live_frac']):>5}"
@@ -150,7 +158,14 @@ def main():
     }
     path = os.path.join(REPO, "SWEEP_RR.json")
     data = json.load(open(path)) if os.path.exists(path) else {}
-    data["wavefront" if bsdf_only else "nee_capped"] = out
+    key = "wavefront" if bsdf_only else "nee_capped"
+    if "--floors" in sys.argv and key in data:
+        # Re-baseline the appended rows against the existing first row
+        # (efficiencies stay comparable across runs only approximately —
+        # the shared TPU drifts — so each row keeps its absolute numbers).
+        data[key]["rows"].extend(rows)
+    else:
+        data[key] = out
     with open(path, "w") as f:
         json.dump(data, f, indent=2)
     print(json.dumps(out))
