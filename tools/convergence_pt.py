@@ -62,12 +62,19 @@ def main():
     )
     sampler = cam.build_sampler((W, H))
 
+    # Keep each wavefront chunk at ~4.2M rays: a 16M-ray chunk OOMs the
+    # shade-gather compile at ~16 GB HBM (tools/bench_pt.py note), so the
+    # per-chunk spp shrinks as the resolution grows (8 at 480x270, 2 at
+    # 1080p — the same sweet spot bench.py's 1080p config uses).
+    spp_chunk = max(1, min(8, 4_200_000 // (W * H)))
+
     def frame(spp, seed, compaction, stratify=True):
         t0 = time.time()
         img = render_frame_pt(
             tracer, tstate, table, sampler, jax.random.key(seed),
             width=W, height=H, spp=spp, bounces=BOUNCES,
-            samples_per_packet=8, compaction=compaction, stratify=stratify,
+            samples_per_packet=min(spp_chunk, spp), compaction=compaction,
+            stratify=stratify,
         )
         img = np.asarray(img)
         return img, time.time() - t0
@@ -149,7 +156,11 @@ def main():
         "stratified": True,
         "stratification_gain": strat_gain,
     }
-    with open(os.path.join(REPO, "CONVERGENCE.json"), "w") as f:
+    # The default config owns CONVERGENCE.json; other resolutions get their
+    # own artifact so the 480x270@1024 record survives a 1080p run.
+    name = ("CONVERGENCE.json" if (W, H) == (480, 270)
+            else f"CONVERGENCE_{W}x{H}.json")
+    with open(os.path.join(REPO, name), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2), flush=True)
 

@@ -30,11 +30,15 @@ def log(*a):
 
 
 def build(n_tris):
+    """Build (or load from cache) the huge atrium WITH the standard bench
+    material assignment (atrium_materials: emissive ceiling panels light the
+    closed interior — an all-Lambertian version renders correctly black
+    under an outside-only sky env, which is useless as a PT demo)."""
     from minipath_tpu.scene.bvh.build import BvhArrays, BuildResult
-    from minipath_tpu.scene.procedural import make_atrium
+    from minipath_tpu.scene.procedural import atrium_materials, make_atrium
 
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"atrium_huge_{n_tris}.npz")
+    path = os.path.join(CACHE, f"atrium_huge_{n_tris}_mats.npz")
     if os.path.exists(path):
         data = np.load(path)
         arrays = BvhArrays(**{f: data[f] for f in BvhArrays._fields})
@@ -50,11 +54,12 @@ def build(n_tris):
     from minipath_tpu.scene.bvh import native
     from minipath_tpu.scene.bvh.build import build_bvh
 
+    mats, _ = atrium_materials(mesh)
     t0 = time.time()
     if native.is_available():
-        result = native.build_bvh_native(mesh, leaf_max=56)
+        result = native.build_bvh_native(mesh, materials=mats, leaf_max=56)
     else:
-        result = build_bvh(mesh, leaf_max=56)
+        result = build_bvh(mesh, materials=mats, leaf_max=56)
     log(f"bvh: depth={result.max_depth} in {time.time()-t0:.1f}s")
     np.savez_compressed(
         path, **result.arrays._asdict(),
@@ -175,14 +180,14 @@ def main():
     try:
         from minipath_tpu.render.pallas_kernels import prepare_scene_qpt
         from minipath_tpu.render.wavefront import make_pt_tracer, render_frame_pt
-        from minipath_tpu.scene.materials import (
-            Environment,
-            lambertian,
-            material_table,
-        )
+        from minipath_tpu.scene.materials import Environment, material_table
+        from minipath_tpu.scene.procedural import atrium_materials, make_atrium
 
         qpt = prepare_scene_qpt(result.arrays, hbm_tris=True)
-        table = material_table([lambertian((0.73, 0.73, 0.73))])
+        # Same material dict list the bench atrium uses (the ids are baked
+        # into the cached arrays' tri_material); a tiny mesh recovers it.
+        _, dicts = atrium_materials(make_atrium(1_000))
+        table = material_table(dicts)
         tracer, tstate = make_pt_tracer(qpt, stack_size=stack, packet_size=2048)
         PW, PH, PSPP, PB = 960, 540, 4, 4
         psampler = camera.build_sampler((PW, PH))
