@@ -9,6 +9,13 @@ round-trip bounds for the u16 quantization
 intersection kernels (``aabb.rs:374-411``). This file is the hypothesis
 equivalent: every example hypothesis ever falsified is persisted under
 ``tests/hypothesis_corpus/`` (committed), so regressions replay first.
+
+The committed corpus is opened READ-ONLY: it replays as the regression
+seed set, while runtime example-DB writes (new shrunk failures, covering
+examples hypothesis caches on every run) go to the gitignored
+``tests/.hypothesis_runtime/`` — so a full test run leaves ``git status``
+clean. To pin a new regression permanently, copy its file from the runtime
+directory into ``hypothesis_corpus/`` and commit it.
 """
 
 import os
@@ -18,11 +25,20 @@ import pytest
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
-from hypothesis.database import DirectoryBasedExampleDatabase
+from hypothesis.database import (
+    DirectoryBasedExampleDatabase,
+    MultiplexedDatabase,
+    ReadOnlyDatabase,
+)
 
-_CORPUS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "hypothesis_corpus")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CORPUS = os.path.join(_HERE, "hypothesis_corpus")
+_RUNTIME = os.path.join(_HERE, ".hypothesis_runtime")
 _SETTINGS = settings(
-    database=DirectoryBasedExampleDatabase(_CORPUS),
+    database=MultiplexedDatabase(
+        ReadOnlyDatabase(DirectoryBasedExampleDatabase(_CORPUS)),
+        DirectoryBasedExampleDatabase(_RUNTIME),
+    ),
     max_examples=60,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
