@@ -65,6 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rr-floor", type=float, default=0.05, metavar="P", help="path tracer: roulette survival-probability floor (unbiased; raising it makes roulette gentler — more rays, less noise; 1.0 disables it)")
     p.add_argument("--tail-cut", type=float, default=None, metavar="F", help="path tracer: retire the whole wavefront once fewer than F of its paths are live (BIASED — drops the tail's remaining contribution; off by default)")
     p.add_argument("--iid", action="store_true", help="path tracer: reference-style iid sampling instead of per-pixel stratification (for A/B noise comparisons)")
+    p.add_argument("--sobol", action="store_true", help="path tracer: Owen-scrambled Sobol sample dimensions instead of jittered strata (unbiased low-discrepancy sampling; measured MSE gain in QUALITY.json)")
     p.add_argument("--denoise", action="store_true", help="path tracer: edge-avoiding a-trous filter guided by first-hit normals/depth (biased post-process; the saved PNG only)")
     p.add_argument("--aov", metavar="PREFIX", default=None, help="path tracer: also write first-hit AOVs <PREFIX>_normal.png and <PREFIX>_depth.png")
     p.add_argument("--adaptive", action="store_true", help="path tracer: adaptive sampling — a 2-spp pilot allocates the --spp budget toward noisy packets (unbiased; single-device)")
@@ -245,6 +246,9 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             "scene; rendering without light sampling",
             file=sys.stderr,
         )
+    if args.sobol and args.iid:
+        print("--sobol and --iid are mutually exclusive", file=sys.stderr)
+        return 2
     t0 = time.time()
     if mesh is not None:
         if args.adaptive:
@@ -275,6 +279,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             rr_floor=args.rr_floor,
             min_live_frac=args.tail_cut,
             stratify=not args.iid,
+            sobol=args.sobol,
         )
         img = renderer(
             tracer_state,
@@ -285,6 +290,11 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             env=Environment.sky(),
         )
     elif args.adaptive:
+        if args.sobol:
+            print(
+                "--sobol with --adaptive is not supported; rendering with "
+                "jittered strata", file=sys.stderr,
+            )
         if args.denoise:
             print(
                 "--denoise with --adaptive uses the fixed-sigma filter "
@@ -333,6 +343,7 @@ def _render_pt(args, bvh, camera, mesh=None, material_dicts=None) -> int:
             rr_floor=args.rr_floor,
             min_live_frac=args.tail_cut,
             stratify=not args.iid,
+            sobol=args.sobol,
             return_variance=args.denoise and args.spp >= 2,
             clamp=args.clamp,
         )

@@ -107,6 +107,7 @@ def render_frame_pallas(
     scene: "PallasScene | QuantizedPallasScene | None" = None,
     interpret: bool = False,
     stratify: bool = True,
+    sobol: bool = False,
 ) -> jnp.ndarray:
     """Full-frame mean image ``(H, W, 4)`` float32 in [0, 1].
 
@@ -114,7 +115,12 @@ def render_frame_pallas(
     per-pixel jittered strata spanning the full ``spp`` — the "stratified
     pixel sampling" of the BASELINE parity config: identical mean,
     visibly less edge/DOF noise at the same spp than the reference's iid
-    jitter (`camera.rs:176-180`).
+    jitter (`camera.rs:176-180`). ``sobol`` upgrades those dimensions to
+    per-pixel Owen-scrambled Sobol points (stratify.py's spp < 0 mode) —
+    unbiased; additionally, every sample is then a pure function of
+    (pixel id, sample index, render seed), so single-device and sharded
+    renders of the same key are seed-matched bit-for-bit (the multichip
+    dryrun's exactness check rides on this).
     """
     if scene is None:
         scene = prepare_scene(bvh)
@@ -141,7 +147,7 @@ def render_frame_pallas(
             samples=n,
             stack_size=stack_size,
             interpret=interpret,
-            strat_spp=spp if stratify else None,
+            strat_spp=((-spp if sobol else spp) if stratify else None),
             strat_offset=jnp.int32(done),
             strat_seed=seed,
         )
@@ -224,7 +230,8 @@ def make_frame_renderer_sharded(
             )
         return cache[(samples, strat_spp)]
 
-    def render(scene, sampler, key, spp: int, stratify: bool = True) -> jnp.ndarray:
+    def render(scene, sampler, key, spp: int, stratify: bool = True,
+               sobol: bool = False) -> jnp.ndarray:
         from minipath_tpu.render.stratify import render_seed
 
         seed = render_seed(key)
@@ -233,7 +240,9 @@ def make_frame_renderer_sharded(
         chunk_id = 0
         while done < spp:
             n = min(samples_per_packet, spp - done)
-            part = chunk_fn(n, spp if stratify else None)(
+            part = chunk_fn(
+                n, (-spp if sobol else spp) if stratify else None
+            )(
                 scene, sampler, jax.random.fold_in(key, chunk_id),
                 jnp.int32(done), seed,
             )

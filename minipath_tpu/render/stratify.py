@@ -35,15 +35,43 @@ the full per-dimension tiling (variance benefit intact).
 All helpers are shape-preserving and run on ``[0, 1)`` uniforms that the
 caller already drew, so enabling stratification costs a handful of VPU
 ops per dimension and zero extra PRNG traffic.
+
+**Low-discrepancy mode (Owen-scrambled Sobol).** Passing a NEGATIVE
+``spp`` to :func:`strat1d` / :func:`strat2d` selects the next rung up
+from jittered strata: sample ``s`` of ``|spp|`` draws the ``s``-th point
+of the 2-D Sobol (0,2)-sequence, Owen-scrambled per pixel and per
+dimension pair with the hash-based nested scramble of Burley,
+"Practical Hash-based Owen Scrambling" (JCGT 2020) — the padded-Sobol
+construction production tracers use. The sign encoding exists so the
+mode rides the ``strat_spp`` static argument through every existing
+jit/chunk/shard code path unchanged; callers use
+:func:`minipath_tpu.render.wavefront.render_frame_pt`'s ``sobol=`` flag
+rather than the raw sign. Unbiasedness: the scramble seeds an additive
+uint32 (from pid/salt/render-seed hashes) into a chain of bijections of
+``[0, 2^32)``, so for a uniform seed every sample is EXACTLY uniform
+marginally — the same randomized-QMC argument as the stratified path,
+with the incoming iid uniforms simply unused. Within a pixel the |spp|
+points are a scrambled Sobol prefix: strictly lower discrepancy than a
+jittered grid, which is where the measured MSE gain comes from
+(QUALITY.json ``sobol`` section).
 """
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["grid_factor", "hash_shift", "render_seed", "strat1d", "strat2d"]
+__all__ = [
+    "grid_factor",
+    "hash_shift",
+    "render_seed",
+    "sobol1d",
+    "sobol2d",
+    "strat1d",
+    "strat2d",
+]
 
 _GOLDEN = 0x9E3779B9  # Weyl increment, decorrelates dimension salts
 
@@ -97,8 +125,11 @@ def strat1d(u, s, pid, spp: int, salt: int):
 
     ``s`` is each lane's sample index within its pixel's ``spp`` samples,
     ``pid`` a per-pixel id (any value unique per pixel works), ``salt`` a
-    static per-dimension tag.
+    static per-dimension tag. ``spp < 0`` selects Owen-scrambled Sobol
+    with ``|spp|`` samples (module docstring); ``u`` is then unused.
     """
+    if spp < 0:
+        return sobol1d(s, pid, salt).astype(u.dtype)
     j = (s + hash_shift(pid, spp, salt)) % spp
     return (j.astype(u.dtype) + u) * (1.0 / spp)
 
@@ -106,9 +137,100 @@ def strat1d(u, s, pid, spp: int, salt: int):
 def strat2d(u1, u2, s, pid, spp: int, salt: int):
     """Jointly stratify a 2-D dimension pair on a ``gx x gy`` grid (better
     than two independent 1-D stratifications for 2-D integrands like area
-    light points and hemisphere directions)."""
+    light points and hemisphere directions). ``spp < 0``: Owen-scrambled
+    2-D Sobol instead (module docstring); ``u1``/``u2`` unused."""
+    if spp < 0:
+        x, y = sobol2d(s, pid, salt)
+        return x.astype(u1.dtype), y.astype(u2.dtype)
     gx, gy = grid_factor(spp)
     j = (s + hash_shift(pid, spp, salt)) % spp
     cx = (j % gx).astype(u1.dtype)
     cy = (j // gx).astype(u2.dtype)
     return (cx + u1) * (1.0 / gx), (cy + u2) * (1.0 / gy)
+
+
+# ---- Owen-scrambled Sobol (the spp < 0 mode) ---------------------------
+
+# Direction numbers for the SECOND Sobol dimension (primitive polynomial
+# x + 1): v_0 = 2^31, v_j = v_{j-1} ^ (v_{j-1} >> 1). The first dimension
+# is the van der Corput radical inverse (bit reversal) and needs no table.
+def _dim1_directions() -> np.ndarray:
+    v, out = 0x80000000, []
+    for _ in range(32):
+        out.append(v)
+        v ^= v >> 1
+    return np.asarray(out, np.uint32)
+
+
+_DIM1 = _dim1_directions()
+
+
+def _reverse_bits(x: jnp.ndarray) -> jnp.ndarray:
+    x = ((x & 0x55555555) << 1) | ((x >> 1) & 0x55555555)
+    x = ((x & 0x33333333) << 2) | ((x >> 2) & 0x33333333)
+    x = ((x & 0x0F0F0F0F) << 4) | ((x >> 4) & 0x0F0F0F0F)
+    x = ((x & 0x00FF00FF) << 8) | ((x >> 8) & 0x00FF00FF)
+    return (x << 16) | (x >> 16)
+
+
+def _laine_karras(x: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """Hash-based nested-uniform permutation of ``[0, 2^32)`` in
+    REVERSED-bit order (Laine & Karras 2011 as hashed by Burley 2020).
+    Every step is a bijection; ``+ seed`` is where a uniform seed makes
+    the output exactly uniform."""
+    x = x + seed
+    x = x ^ (x * jnp.uint32(0x6C50B47C))
+    x = x ^ (x * jnp.uint32(0xB82F1E52))
+    x = x ^ (x * jnp.uint32(0xC7AFE638))
+    x = x ^ (x * jnp.uint32(0x8D22F6E6))
+    return x
+
+
+def _owen(x: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """Owen-scramble a radical-inverse value: high bits may only permute
+    as a function of the bits above them, which the reversed-domain hash
+    provides."""
+    return _reverse_bits(_laine_karras(_reverse_bits(x), seed))
+
+
+def _sobol_pair(index: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The ``index``-th point of the 2-D Sobol sequence as uint32 pair."""
+    i = index.astype(jnp.uint32)
+    x = _reverse_bits(i)
+    y = jnp.zeros_like(i)
+    for bit in range(32):
+        y = y ^ jnp.where(
+            ((i >> bit) & 1) != 0, jnp.uint32(int(_DIM1[bit])), jnp.uint32(0)
+        )
+    return x, y
+
+
+_U32_TO_UNIT = 1.0 / 16777216.0  # top 24 bits -> [0, 1)
+
+
+def _to_unit(x: jnp.ndarray) -> jnp.ndarray:
+    return (x >> 8).astype(jnp.float32) * _U32_TO_UNIT
+
+
+def _dim_seed(pid: jnp.ndarray, salt: int, which: int) -> jnp.ndarray:
+    return _hash_u32(
+        pid.astype(jnp.uint32)
+        ^ jnp.uint32(((salt * 2 + which) * _GOLDEN) & 0xFFFFFFFF)
+    )
+
+
+def sobol2d(s, pid, salt: int):
+    """Owen-scrambled 2-D Sobol point for sample ``s`` of pixel ``pid`` in
+    dimension pair ``salt`` — padded-Sobol: every (pid, salt) gets its own
+    scramble, all ride the same index."""
+    x, y = _sobol_pair(s)
+    return (
+        _to_unit(_owen(x, _dim_seed(pid, salt, 0))),
+        _to_unit(_owen(y, _dim_seed(pid, salt, 1))),
+    )
+
+
+def sobol1d(s, pid, salt: int):
+    """1-D Owen-scrambled radical inverse (Sobol dimension 0)."""
+    x = _reverse_bits(s.astype(jnp.uint32))
+    return _to_unit(_owen(x, _dim_seed(pid, salt, 0)))

@@ -1100,6 +1100,7 @@ def make_pt_renderer_sharded(
     rr_floor: float = 0.05,
     min_live_frac: float | None = None,
     stratify: bool = True,
+    sobol: bool = False,
 ):
     """Multi-chip wavefront path tracer over a 1-D device mesh.
 
@@ -1172,7 +1173,9 @@ def make_pt_renderer_sharded(
         chunk = 0
         while done < spp:
             n = min(samples_per_packet, spp - done)
-            part = chunk_fn(n, spp if stratify else None)(
+            part = chunk_fn(
+                n, (-spp if sobol else spp) if stratify else None
+            )(
                 tracer_state, materials, env, sampler,
                 jax.random.fold_in(key, 1000 + chunk), lights,
                 jnp.int32(done), seed,
@@ -1215,6 +1218,7 @@ def render_frame_pt(
     rr_floor: float = 0.05,
     min_live_frac: float | None = None,
     stratify: bool = True,
+    sobol: bool = False,
     strat_total: int | None = None,
     strat_offset: int = 0,
     strat_seed=None,
@@ -1246,7 +1250,11 @@ def render_frame_pt(
     ``stratify`` (default on) draws the film/lens, BSDF, and light-sample
     dimensions from per-pixel jittered strata spanning the full ``spp``
     (:mod:`minipath_tpu.render.stratify`) — identical estimator mean,
-    lower variance than iid sampling at the same spp.
+    lower variance than iid sampling at the same spp. ``sobol`` upgrades
+    those same dimensions to per-pixel Owen-scrambled Sobol points
+    (padded 2-D Sobol; see stratify.py's low-discrepancy section) —
+    still exactly unbiased, measured lower variance than jittered strata
+    at equal spp (QUALITY.json ``sobol``); requires ``stratify=True``.
     ``strat_total``/``strat_offset`` widen the stratum window beyond this
     call: a progressive accumulator rendering many small-spp passes can
     pass the per-round total and this pass's global sample offset so the
@@ -1264,6 +1272,8 @@ def render_frame_pt(
         raise ValueError("NEE needs both lights= and shadow_tracer=")
     if return_variance and spp < 2:
         raise ValueError("return_variance needs spp >= 2")
+    if sobol and not stratify:
+        raise ValueError("sobol=True requires stratify=True")
     if strat_seed is None:
         # One pairing seed per render, shared by every chunk of the
         # stratum window (render/stratify.py: required for unbiasedness).
@@ -1298,7 +1308,12 @@ def render_frame_pt(
             rr_start=rr_start,
             rr_floor=rr_floor,
             min_live_frac=min_live_frac,
-            strat_spp=(strat_total or spp) if stratify else None,
+            # Negative strat_spp = Owen-scrambled Sobol (stratify.py): the
+            # sign rides the existing static argument through every chunk.
+            strat_spp=(
+                (-1 if sobol else 1) * (strat_total or spp)
+                if stratify else None
+            ),
             strat_offset=jnp.int32(strat_offset + done),
             strat_seed=strat_seed,
             with_sumsq=return_variance,

@@ -196,11 +196,78 @@ def tworooms_adaptive_section():
     print("appended adaptive_tworooms_concentrated", flush=True)
 
 
+def sobol_section():
+    """Owen-scrambled Sobol vs jittered strata vs iid at matched spp — the
+    round-5 low-discrepancy rung (stratify.py's spp < 0 mode), measured
+    exactly like the stratification rows: same atrium interior-GI scene,
+    same reference, 3 seeds per row. Appends the `sobol` key to
+    QUALITY.json."""
+    mesh = make_atrium(60_000)
+    mats, dicts = atrium_materials(mesh)
+    table = material_table(dicts)
+    if native.is_available():
+        res = native.build_bvh_native(mesh, materials=mats, leaf_max=24)
+    else:
+        res = build_bvh(mesh, materials=mats, leaf_max=24)
+    arrays = jax.tree.map(jnp.asarray, res.arrays)
+    tracer, tstate = make_xla_tracer(
+        arrays, stack_size=res.recommended_stack_size, packet_size=256
+    )
+    cam = (Camera().look_at((-16.0, 4.0, 0.0), (10.0, 3.0, 0.5))
+           .f_number(8.0).sensor_width(36e-3))
+    sampler = cam.build_sampler((W, H))
+    kw = dict(
+        width=W, height=H, bounces=BOUNCES, env=Environment.sky(),
+        px_block=(16, 16),
+    )
+
+    def frame(seed, spp, stratify=True, sobol=False):
+        return np.asarray(render_frame_pt(
+            tracer, tstate, table, sampler, jax.random.key(seed),
+            spp=spp, samples_per_packet=min(8, spp), stratify=stratify,
+            sobol=sobol, **kw,
+        ))[..., :3]
+
+    print("sobol section reference (256 spp stratified)...", flush=True)
+    ref = frame(999, 256)
+    rows = []
+    for spp in (8, 32):
+        r_iid = np.mean([rmse(frame(20 + i, spp, stratify=False), ref)
+                         for i in range(3)])
+        r_st = np.mean([rmse(frame(20 + i, spp), ref) for i in range(3)])
+        r_so = np.mean([rmse(frame(20 + i, spp, sobol=True), ref)
+                        for i in range(3)])
+        rows.append({
+            "spp": spp,
+            "rmse_iid": round(float(r_iid), 5),
+            "rmse_stratified": round(float(r_st), 5),
+            "rmse_sobol": round(float(r_so), 5),
+            "mse_ratio_strat_over_sobol": round(float((r_st / r_so) ** 2), 3),
+            "mse_ratio_iid_over_sobol": round(float((r_iid / r_so) ** 2), 3),
+        })
+        print(f"sobol spp={spp}: iid {r_iid:.5f} strat {r_st:.5f} "
+              f"sobol {r_so:.5f} (MSE strat/sobol "
+              f"x{rows[-1]['mse_ratio_strat_over_sobol']})", flush=True)
+    path = os.path.join(REPO, "QUALITY.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data["sobol"] = {
+        "workload": f"atrium interior GI {W}x{H}, {BOUNCES} bounces, "
+                    "Owen-scrambled padded 2-D Sobol (stratify.py) vs "
+                    "jittered strata vs iid, reference 256 spp, 3 seeds",
+        "rows": rows,
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
+    print("appended sobol section", flush=True)
+
+
 def main():
     if "--sphere-only" in sys.argv:
         return sphere_adaptive_section()
     if "--tworooms-only" in sys.argv:
         return tworooms_adaptive_section()
+    if "--sobol-only" in sys.argv:
+        return sobol_section()
     adaptive_only = "--atrium-adaptive-only" in sys.argv
     mesh = make_atrium(60_000)
     mats, dicts = atrium_materials(mesh)

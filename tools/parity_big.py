@@ -165,6 +165,12 @@ def main():
         "mean_shift_frac": round(float(shift), 5),
         "seconds_quantized_lean": round(t_q, 2),
         "seconds_xla": round(t_x, 2),
+        "timing_note": (
+            "seconds_* are SINGLE COLD calls including full XLA/Mosaic "
+            "compile - parity evidence only, NOT a kernel-vs-XLA speed "
+            "comparison; warm per-frame rates live in BENCH_extra.json / "
+            "ISOLATE_QPT.json"
+        ),
     }
     print(f"frame parity: qpt mean {img_q.mean():.5f} vs xla "
           f"{img_x.mean():.5f} (shift {shift*100:.2f}%), "

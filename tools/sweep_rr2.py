@@ -65,8 +65,109 @@ CONFIGS = [
 ]
 
 
+def floors_precise(floors, seeds=6):
+    """Error-barred survival-floor comparison (round-4 verdict item: the
+    6-seed grid showed rr_floor 0.5 at 1.061x efficiency but recorded no
+    spread, so 'defaults unchanged' shipped unjustified).
+
+    The across-seed variance estimate of the coarse grid has relative
+    standard error ~sqrt(2/(n-1)) ~ 63% at 6 seeds — hopeless for a 6%
+    effect. This mode instead uses the WITHIN-frame variance estimator
+    (render_frame_pt(return_variance=True): per-pixel sample variance of
+    the luminance, aggregated over all 0.5M pixels), which is precise per
+    seed; the seed-to-seed spread of (pixel-mean variance x wall time)
+    then gives honest error bars on the efficiency ratio. Stratification
+    makes within-pixel samples non-iid, so the estimator reads the
+    PER-SAMPLE variance, not the stratified mean's — the stratification
+    gain is floor-independent, so efficiency RATIOS between floors are
+    unaffected. Wall time includes the sumsq accumulation for every row
+    equally. Writes the `floor_precise` key of SWEEP_RR.json.
+    """
+    import jax.numpy as jnp
+
+    res, table = build_scene()
+    scene = prepare_scene_pt(res.as_device())
+    stack = res.recommended_stack_size
+    tracer, tstate = make_pt_tracer(scene, stack_size=stack, packet_size=2048)
+    shadow, _ = make_pt_shadow_tracer(scene, stack_size=stack, packet_size=2048)
+    lights = build_light_table(
+        res.arrays.tri_packets, res.arrays.tri_material, table
+    )
+    cam = (Camera().look_at((-16.0, 4.0, 0.0), (10.0, 3.0, 0.5))
+           .f_number(8.0).sensor_width(36e-3))
+    sampler = cam.build_sampler((W, H))
+    key = jax.random.key(7)
+
+    rows = []
+    for fl in floors:
+        def frame(k):
+            img, var = render_frame_pt(
+                tracer, tstate, table, sampler, k,
+                width=W, height=H, spp=SPP, bounces=BOUNCES,
+                env=Environment.sky(), samples_per_packet=SPP,
+                compaction=True, lights=lights, shadow_tracer=shadow,
+                nee_max_depth=1, rr_start=3, rr_floor=fl,
+                return_variance=True,
+            )
+            return (float(np.asarray(jnp.mean(img[..., :3]))),
+                    float(np.asarray(jnp.mean(var))))
+
+        t0 = time.time()
+        frame(key)
+        print(f"floor {fl}: warmup {time.time()-t0:.1f}s", flush=True)
+        per_seed = []
+        for i in range(seeds):
+            t0 = time.time()
+            mean, var = frame(jax.random.fold_in(key, 80 + i))
+            dt = time.time() - t0
+            per_seed.append({"t_s": round(dt, 3), "var": var,
+                             "mean": round(mean, 5)})
+        ts = np.array([s["t_s"] for s in per_seed])
+        vs = np.array([s["var"] for s in per_seed])
+        effs = 1.0 / (vs * ts)
+        rows.append({
+            "rr_floor": fl,
+            "t_mean_s": round(float(ts.mean()), 3),
+            "t_std_s": round(float(ts.std()), 3),
+            "var_mean": float(vs.mean()),
+            "var_rel_std": round(float(vs.std() / vs.mean()), 4),
+            "eff_mean": float(effs.mean()),
+            "eff_stderr": float(effs.std() / np.sqrt(len(effs))),
+            "per_seed": per_seed,
+        })
+        print(f"floor {fl}: t {ts.mean():.3f}s var {vs.mean():.3e} "
+              f"eff {effs.mean():.2f} +- {rows[-1]['eff_stderr']:.2f}",
+              flush=True)
+
+    base = rows[0]
+    for r in rows:
+        ratio = r["eff_mean"] / base["eff_mean"]
+        # Independent-seed ratio error propagation.
+        rel = np.sqrt((r["eff_stderr"] / r["eff_mean"]) ** 2
+                      + (base["eff_stderr"] / base["eff_mean"]) ** 2)
+        r["efficiency_vs_first"] = round(float(ratio), 4)
+        r["efficiency_vs_first_stderr"] = round(float(ratio * rel), 4)
+        print(f"floor {r['rr_floor']}: eff ratio {r['efficiency_vs_first']} "
+              f"+- {r['efficiency_vs_first_stderr']}", flush=True)
+
+    path = os.path.join(REPO, "SWEEP_RR.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data["floor_precise"] = {
+        "workload": f"atrium NEE(cap=1) {W}x{H} @ {SPP}spp, {BOUNCES} "
+        f"bounces, {seeds} seeds, within-frame variance estimator",
+        "rows": rows,
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
+    print(json.dumps(data["floor_precise"], indent=2), flush=True)
+
+
 def main():
     global CONFIGS
+    if "--floors-precise" in sys.argv:
+        floors = [float(x) for x in
+                  sys.argv[sys.argv.index("--floors-precise") + 1].split(",")]
+        return floors_precise(floors)
     bsdf_only = "--bsdf-only" in sys.argv
     if "--floors" in sys.argv:
         # Extension run: sweep additional survival floors at the shipped
