@@ -661,11 +661,25 @@ def _traverse_kernel_q(
     lean: bool = False,
     anyhit: bool = False,
 ):
-    """Same traversal as :func:`_traverse_kernel`, but every stack entry
-    carries its quantized box plus the parent frame (the reference's
-    ``StackCache`` shape: link + parent box + entry distance,
-    ``ray_bvh_intersection.rs:19-23``), and node/triangle records are
-    decompressed in-kernel (``ray_bvh_intersection.rs:104-163``).
+    """Quantized-scene traversal; node/triangle records are decompressed
+    in-kernel (``ray_bvh_intersection.rs:104-163``).
+
+    Stack discipline (round 5): every entry is ``link + the entry's own
+    DECOMPRESSED box`` (7 words). The box is a free push payload — the
+    slab test already decompressed all 8 children — and it is exactly
+    what the pop needs: an inner node's box is its children's
+    dequantization frame, a leaf's box is its triangles'. The original
+    design carried the reference's ``StackCache`` shape instead (link +
+    quantized words + parent frame + entry distance, 11 words,
+    ``ray_bvh_intersection.rs:19-23``) and paid a per-pop decompress
+    chain plus EIGHT per-child vector->scalar min-reductions per inner
+    visit for entry-distance ordering; ISOLATE_QPT.json measured that
+    design at 1.93x the f32 kernel's time per packet-visit on the same
+    scene. This version adopts the f32 PT kernel's measured scheme
+    (octant-projection child ordering from box scalars, 4 packed
+    sum-reduces for the 8 push decisions, no pop re-prune — the slab
+    test prunes against live best_t), leaving dequantization arithmetic
+    as the only structural extra over f32.
 
     With ``tri_in_hbm`` the triangle array lives in HBM and each leaf
     visit async-copies its packet rows into the VMEM scratch first — the
@@ -690,13 +704,11 @@ def _traverse_kernel_q(
       wholesale. Only ``tri >= 0`` is meaningful in the outputs."""
     if lean:
         (t_ref, tri_out_ref, u_ref, v_ref, diag_ref,
-         stack_ref, stack_t_ref, stack_w_ref, stack_pb_ref,
-         *dma_scratch) = rest
+         stack_ref, stack_box_ref, *dma_scratch) = rest
     else:
         assert not anyhit, "anyhit requires lean mode"
         (t_ref, tri_out_ref, nx_ref, ny_ref, nz_ref, mat_out_ref, ovf_ref,
-         stack_ref, stack_t_ref, stack_w_ref, stack_pb_ref,
-         *dma_scratch) = rest
+         stack_ref, stack_box_ref, *dma_scratch) = rest
     S, LANES = rays_ref.shape[2], rays_ref.shape[3]
     ox = rays_ref[0, 0]
     oy = rays_ref[0, 1]
@@ -716,18 +728,20 @@ def _traverse_kernel_q(
     def u16hi(w):
         return ((w >> 16) & 0xFFFF).astype(jnp.float32)
 
+    # Packet direction octant signs from lane 0 (see _traverse_kernel_pt:
+    # compaction sorts rays by octant, so lane 0 is representative; a
+    # minority lane only degrades traversal order, never correctness).
+    one = jnp.float32(1.0)
+    sgx = jnp.where(rays_ref[0, 3, 0, 0] > 0.0, one, -one)
+    sgy = jnp.where(rays_ref[0, 4, 0, 0] > 0.0, one, -one)
+    sgz = jnp.where(rays_ref[0, 5, 0, 0] > 0.0, one, -one)
+
     root = root_ref[0, 0]
     stack_ref[0] = root
-    stack_t_ref[0] = 0.0
-    # Root pseudo-entry: q_min = 0, q_max = 65535 against the root box, so
-    # the root's frame decompresses with the same arithmetic as every other
-    # entry (the builder quantizes the root's children against exactly this
-    # reconstruction — quantize.root_frame).
-    stack_w_ref[0, 0] = jnp.int32(0)
-    stack_w_ref[0, 1] = jnp.int32(-65536)  # 0xFFFF0000
-    stack_w_ref[0, 2] = jnp.int32(-1)  # 0xFFFFFFFF
+    # The root entry's box is the scene box itself (the builder quantizes
+    # the root's children against exactly this frame — quantize.root_frame).
     for k in range(6):
-        stack_pb_ref[0, k] = root_box_ref[0, k]
+        stack_box_ref[0, k] = root_box_ref[0, k]
     # Wavefront early-exit (see _traverse_kernel).
     live = pl.program_id(0) < live_ref[0, 0]
 
@@ -737,28 +751,15 @@ def _traverse_kernel_q(
     def body(carry):
         sp = carry["sp"]
         link = stack_ref[sp - 1]
-        t_entry = stack_t_ref[sp - 1]
-        w0 = stack_w_ref[sp - 1, 0]
-        w1 = stack_w_ref[sp - 1, 1]
-        w2 = stack_w_ref[sp - 1, 2]
-        p0 = stack_pb_ref[sp - 1, 0]
-        p1 = stack_pb_ref[sp - 1, 1]
-        p2 = stack_pb_ref[sp - 1, 2]
-        p3 = stack_pb_ref[sp - 1, 3]
-        p4 = stack_pb_ref[sp - 1, 4]
-        p5 = stack_pb_ref[sp - 1, 5]
+        # The entry's own box, decompressed at push time: an inner node's
+        # children and a leaf's triangles both dequantize against it.
+        bminx = stack_box_ref[sp - 1, 0]
+        bminy = stack_box_ref[sp - 1, 1]
+        bminz = stack_box_ref[sp - 1, 2]
+        bmaxx = stack_box_ref[sp - 1, 3]
+        bmaxy = stack_box_ref[sp - 1, 4]
+        bmaxz = stack_box_ref[sp - 1, 5]
         carry = dict(carry, sp=sp - 1)
-        # Decompress this entry's own box from the parent frame
-        # (RelativeBox8 decompression, compressed_geometry.rs:122-145).
-        psx = (p3 - p0) * _INV_U16
-        psy = (p4 - p1) * _INV_U16
-        psz = (p5 - p2) * _INV_U16
-        bminx = p0 + u16lo(w0) * psx
-        bminy = p1 + u16hi(w0) * psy
-        bminz = p2 + u16lo(w1) * psz
-        bmaxx = p0 + u16hi(w1) * psx
-        bmaxy = p1 + u16lo(w2) * psy
-        bmaxz = p2 + u16hi(w2) * psz
 
         count = link & L.COUNT_MASK
         idx = link >> L.COUNT_BITS
@@ -770,9 +771,15 @@ def _traverse_kernel_q(
             msx = (bmaxx - bminx) * _INV_U16
             msy = (bmaxy - bminy) * _INV_U16
             msz = (bmaxz - bminz) * _INV_U16
+            # Push decisions via 4 packed sum-reduces (two children per
+            # 16-bit field; counts <= S*128 < 65536) and far-first ordering
+            # by the scalar octant projection of each child's box center —
+            # the f32 PT kernel's measured scheme (see its dead-end log:
+            # entry-distance min-reduces were 8 vector->scalar syncs).
+            packed = [jnp.zeros((S, LANES), jnp.int32) for _ in range(4)]
+            child_keys = []
             child_links = []
-            child_tmin = []
-            cw0s, cw1s, cw2s = [], [], []
+            cb = [[] for _ in range(6)]  # decompressed child boxes
             for c in range(8):
                 cw0 = row[3 * c]
                 cw1 = row[3 * c + 1]
@@ -798,39 +805,46 @@ def _traverse_kernel_q(
                     jnp.minimum(jnp.maximum(tx0, tx1), best_t),
                     jnp.minimum(jnp.maximum(ty0, ty1), jnp.maximum(tz0, tz1)),
                 )
-                clink = row[24 + c]
-                hit = t1 <= t2
-                tmin = jnp.min(jnp.where(hit, t1, jnp.inf))
-                # tmin == +inf iff no ray hit (see _traverse_kernel).
-                push = (tmin < jnp.inf) & (clink != _NULL)
-                child_links.append(jnp.where(push, clink, _NULL))
-                child_tmin.append(jnp.where(push, tmin, jnp.inf))
-                cw0s.append(cw0)
-                cw1s.append(cw1)
-                cw2s.append(cw2)
+                hit = (t1 <= t2).astype(jnp.int32)
+                packed[c // 2] = packed[c // 2] + (
+                    hit if c % 2 == 0 else hit << 16
+                )
+                child_keys.append(
+                    sgx * (cminx + cmaxx)
+                    + sgy * (cminy + cmaxy)
+                    + sgz * (cminz + cmaxz)
+                )
+                child_links.append(row[24 + c])
+                for k, v in enumerate((cminx, cminy, cminz,
+                                       cmaxx, cmaxy, cmaxz)):
+                    cb[k].append(v)
+            NEG = jnp.float32(-jnp.inf)
+            for j in range(4):
+                tot = jnp.sum(packed[j])
+                lo_any = (tot & 0xFFFF) > 0
+                hi_any = (tot >> 16) > 0
+                c0, c1 = 2 * j, 2 * j + 1
+                child_keys[c0] = jnp.where(
+                    lo_any & (child_links[c0] != _NULL), child_keys[c0], NEG
+                )
+                child_keys[c1] = jnp.where(
+                    hi_any & (child_links[c1] != _NULL), child_keys[c1], NEG
+                )
 
-            _sort_children_desc(child_tmin, [child_links, cw0s, cw1s, cw2s])
+            # Descending: pushed children form a far-first prefix, so the
+            # nearest child pops first.
+            _sort_children_desc(child_keys, [child_links] + cb)
 
             for c in range(8):
-                clink = child_links[c]
-                push = clink != _NULL
+                push = child_keys[c] != NEG
                 fits = sp < stack_size
                 ok = push & fits
 
                 @pl.when(ok)
                 def _():
-                    stack_ref[sp] = clink
-                    stack_t_ref[sp] = child_tmin[c]
-                    stack_w_ref[sp, 0] = cw0s[c]
-                    stack_w_ref[sp, 1] = cw1s[c]
-                    stack_w_ref[sp, 2] = cw2s[c]
-                    # All 8 children share this node's box as their frame.
-                    stack_pb_ref[sp, 0] = bminx
-                    stack_pb_ref[sp, 1] = bminy
-                    stack_pb_ref[sp, 2] = bminz
-                    stack_pb_ref[sp, 3] = bmaxx
-                    stack_pb_ref[sp, 4] = bmaxy
-                    stack_pb_ref[sp, 5] = bmaxz
+                    stack_ref[sp] = child_links[c]
+                    for k in range(6):
+                        stack_box_ref[sp, k] = cb[k][c]
 
                 sp = sp + ok.astype(jnp.int32)
                 ovf = ovf + (push & ~fits).astype(jnp.int32)
@@ -954,7 +968,7 @@ def _traverse_kernel_q(
                    (("t", "tri", "u", "v") if lean
                     else ("t", "tri", "nx", "ny", "nz", "mat"))}
             pc = jax.lax.fori_loop(0, count, packet_body, pc0)
-            out = dict(args, **pc, max_best=jnp.max(pc["t"]))
+            out = dict(args, **pc)
             if anyhit:
                 # Whole-packet retire: once every lane has an occluder the
                 # remaining stack can only re-test finished lanes.
@@ -963,23 +977,13 @@ def _traverse_kernel_q(
                 out["ltst"] = args["ltst"] + count
             return out
 
-        def skip_case(args):
-            return args
-
-        alive = t_entry <= carry["max_best"]
-        return jax.lax.cond(
-            alive,
-            lambda args: jax.lax.cond(is_leaf, leaf_case, inner_case, args),
-            skip_case,
-            carry,
-        )
+        return jax.lax.cond(is_leaf, leaf_case, inner_case, carry)
 
     zeros = jnp.zeros((S, LANES), jnp.float32)
     sp0 = jnp.where((root == _NULL) | ~live, 0, 1).astype(jnp.int32)
     carry0 = {
         "sp": sp0,
         "ovf": jnp.int32(0),
-        "max_best": jnp.float32(t_max),
         "t": jnp.full((S, LANES), t_max, jnp.float32),
         "tri": jnp.full((S, LANES), -1, jnp.int32),
     }
@@ -1060,10 +1064,8 @@ def trace_packets_pallas_q(
     live = jnp.asarray(live_packets, jnp.int32).reshape(1, 1)
     tri_space = pl.ANY if hbm_tris else pltpu.VMEM
     scratch = [
-        pltpu.SMEM((stack_size,), jnp.int32),
-        pltpu.SMEM((stack_size,), jnp.float32),
-        pltpu.SMEM((stack_size, 3), jnp.int32),
-        pltpu.SMEM((stack_size, 6), jnp.float32),
+        pltpu.SMEM((stack_size,), jnp.int32),  # links
+        pltpu.SMEM((stack_size, 6), jnp.float32),  # decompressed boxes
     ]
     if hbm_tris:
         scratch += [
