@@ -142,12 +142,12 @@ def main():
     # program alone and "gather" is the XLA glue it feeds.
     spp_total = SPP  # strata span the full frame spp, as in the real frame
 
-    def trace_kernel(state, origin, direction, inv_direction, live):
+    def trace_kernel(scn, origin, direction, inv_direction, live):
         r9, live_packets, Np = _pack_rays9(
             PKT, live, origin, direction, inv_direction
         )
         ph = _trace_pt_any(
-            state, r9, stack_size=stack, interpret=False,
+            scn, r9, stack_size=stack, interpret=False,
             live_packets=live_packets,
         )
         N = origin.shape[0]
@@ -252,7 +252,7 @@ def main():
                 live = jnp.sum(state.active.astype(jnp.int32))
             t0 = time.time()
             t, tri, u, v, iv, lt = trace_j(
-                state, state.origin, state.direction, state.inv_direction,
+                scene, state.origin, state.direction, state.inv_direction,
                 live,
             )
             sync(t)
