@@ -68,7 +68,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sobol", action="store_true", help="path tracer: Owen-scrambled Sobol sample dimensions instead of jittered strata (unbiased low-discrepancy sampling; measured MSE gain in QUALITY.json)")
     p.add_argument("--denoise", action="store_true", help="path tracer: edge-avoiding a-trous filter guided by first-hit normals/depth (biased post-process; the saved PNG only)")
     p.add_argument("--aov", metavar="PREFIX", default=None, help="path tracer: also write first-hit AOVs <PREFIX>_normal.png and <PREFIX>_depth.png")
-    p.add_argument("--adaptive", action="store_true", help="path tracer: adaptive sampling — a 2-spp pilot allocates the --spp budget toward noisy packets (unbiased; single-device)")
+    p.add_argument("--adaptive", action="store_true", help="EXPERIMENTAL: adaptive sampling — a 2-spp pilot allocates the --spp budget toward noisy packets (unbiased; single-device). Measured at-or-below uniform on every scene tried (QUALITY.json); prefer the default stratified/--sobol samplers")
     p.add_argument("--clamp", type=float, default=None, metavar="L", help="path tracer: cap each sample's radiance at L before averaging (firefly suppression; biased)")
     return p
 
