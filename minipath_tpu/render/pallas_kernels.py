@@ -1247,7 +1247,7 @@ class PTScene(NamedTuple):
     node_links: jnp.ndarray  # (N, 8) i32 — as PallasScene
     tri_data: jnp.ndarray  # (M, 80) f32 — as PallasScene (materials unused)
     root: jnp.ndarray  # (1, 1) i32
-    # (M*8, 20) f32 HBM-side shading table: n0, n1, n2 (9), material (1),
+    # (M*8, 20) f16 HBM-side shading table: n0, n1, n2 (9), material (1),
     # uv0, uv1, uv2 (9), pad (1) — gathered per winning triangle OUTSIDE
     # the kernel (not a kernel input) as one row gather per ray (see
     # shade_from_flat for the measured layout trade). Texture coordinates
@@ -1276,23 +1276,40 @@ class PTHits(NamedTuple):
 
 
 def build_shade_flat(bvh: BvhArrays) -> jnp.ndarray:
-    """The (M*8, 20) f32 HBM-side shading table shared by every lean PT
+    """The (M*8, 20) f16 HBM-side shading table shared by every lean PT
     layout: per triangle lane, n0 n1 n2 (9), material (1), uv0 uv1 uv2 (9),
     pad (1). Flat-shaded triangles get their geometric normal replicated
     into all three slots (``building.rs:199`` semantics); texcoords
     interpolate with the kernel barycentrics exactly like the reference's
-    hit finalization (``ray_bvh_intersection.rs:87-93``)."""
+    hit finalization (``ray_bvh_intersection.rs:87-93``).
+
+    f16 storage halves the per-bounce row-gather bytes — measured 151 ->
+    66 ms per 4.15M-ray gather on the TPU (the gather is byte-bound;
+    round-5 microbench), worth ~9 s on the 112 s headline frame. The
+    normals are normalized HERE so f16's narrow range can't underflow a
+    tiny cross product to zero (shade_from_flat re-normalizes the f32
+    interpolant as before); uv in [0, ~1] and material ids < 2048 are
+    exact in f16."""
     M = bvh.tri_packets.shape[0]
     v0 = jnp.asarray(bvh.tri_packets[:, :, 0, :])
     e1 = jnp.asarray(bvh.tri_packets[:, :, 1, :]) - v0
     e2 = jnp.asarray(bvh.tri_packets[:, :, 2, :]) - v0
     vidx = jnp.asarray(bvh.tri_vidx).reshape(M, 8, 3)
     vnorm = jnp.asarray(bvh.vert_normal)[vidx]  # (M, 8, 3, 3)
-    geom = jnp.cross(e1, e2)  # unnormalized; shade_from_flat normalizes
+    geom = jnp.cross(e1, e2)
     flat = jnp.asarray(bvh.tri_flat).reshape(M, 8)
     vnorm = jnp.where(flat[..., None, None], geom[:, :, None, :], vnorm)
-    shade = vnorm.reshape(M * 8, 9).astype(jnp.float32)
-    mat = jnp.asarray(bvh.tri_material).reshape(M * 8, 1).astype(jnp.float32)
+    # Normalize per stored normal (NOT deferred to shade time): the rows
+    # are stored f16, whose min normal (~6e-5) would flush a small-area
+    # cross product to zero and NaN the shade-time normalize.
+    vnorm = vnorm / jnp.maximum(
+        jnp.linalg.norm(vnorm, axis=-1, keepdims=True), 1e-20
+    )
+    shade = vnorm.reshape(M * 8, 9)
+    mat_i = jnp.asarray(bvh.tri_material).reshape(M * 8, 1)
+    if int(jnp.max(mat_i)) >= 2048:
+        raise ValueError("material ids must stay < 2048 for exact f16 rows")
+    mat = mat_i.astype(jnp.float32)
     uvs = (
         jnp.asarray(bvh.vert_uv)[vidx.reshape(M * 8, 3)]
         .reshape(M * 8, 9)
@@ -1300,7 +1317,7 @@ def build_shade_flat(bvh: BvhArrays) -> jnp.ndarray:
     )
     return jnp.concatenate(
         [shade, mat, uvs, jnp.zeros((M * 8, 1), jnp.float32)], axis=-1
-    )  # (M*8, 20) — row layout; see shade_from_flat for the measured trade
+    ).astype(jnp.float16)  # (M*8, 20) — see shade_from_flat for the trade
 
 
 def prepare_scene_pt(bvh: BvhArrays) -> PTScene:
@@ -1330,7 +1347,7 @@ class QPTScene(NamedTuple):
     tri_q: jnp.ndarray  # (M, 64) i32 VMEM-resident, or (M+8, 128) HBM
     root: jnp.ndarray  # (1, 1) i32
     root_box: jnp.ndarray  # (1, 6) f32
-    shade_flat: jnp.ndarray  # (M*8, 20) f32, HBM-side
+    shade_flat: jnp.ndarray  # (M*8, 20) f16, HBM-side
 
     @property
     def hbm_tris(self) -> bool:

@@ -320,10 +320,14 @@ def shade_from_flat(shade_flat, tri, u, v):
     (8, 128)-tiled output pads the 20-wide minor dim 6.4x, so the HLO
     temp is ~128 B/ray. Callers bound the wavefront chunk size (see
     render_frame_pt's samples_per_packet) — ~4M rays/chunk keeps the
-    temp ~0.5 GB; a single 16M-ray chunk OOMs compile at 16 GB."""
+    temp ~0.5 GB; a single 16M-ray chunk OOMs compile at 16 GB.
+
+    The table is f16 (see ``build_shade_flat``): the gather is byte-bound
+    (2.3x faster at half-width rows, round-5 microbench), and all the
+    interpolation below runs in f32 after one fused up-cast."""
     u = u[:, None]
     v = v[:, None]
-    row = shade_flat[jnp.maximum(tri, 0)]  # (N, 20) — one gather
+    row = shade_flat[jnp.maximum(tri, 0)].astype(jnp.float32)  # one gather
     n0 = row[:, 0:3]
     normal = n0 + u * (row[:, 3:6] - n0) + v * (row[:, 6:9] - n0)
     normal = _normalize(normal)
@@ -381,7 +385,7 @@ def make_pt_tracer(
     (``ray_bvh_intersection.rs:26-96``).
 
     The kernel returns only ``(t, tri, u, v)``; the winner's shading normal,
-    material, and texture coordinates come from ONE 80-byte row gather per
+    material, and texture coordinates come from ONE 40-byte (f16) row gather per
     ray out of ``scene.shade_flat`` (HBM-side), interpolated with the
     kernel's barycentrics — measured ~1.8x faster end to end on compacted
     bounce packets than the full kernel, which pays ~20 normal-interpolation
