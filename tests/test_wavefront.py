@@ -23,14 +23,29 @@ from minipath_tpu.scene.procedural import make_quad
 from minipath_tpu.scene.triangle_bvh import TriangleBvh
 
 
+_FLOOR_OBJ = None
+
+
 def _floor_scene(mat):
-    """A big quad at y=0 with normal +y (flat shaded)."""
-    mesh = make_quad(100.0)
-    # quad is in z-plane; rotate to be the y=0 floor.
-    pos = mesh.positions.copy()
-    mesh.positions = np.stack([pos[:, 0], pos[:, 2], pos[:, 1]], axis=-1)
-    obj = TriangleBvh.build(mesh, materials=np.zeros(mesh.triangle_count, np.int32))
-    return obj, material_table([mat])
+    """A big quad at y=0 with normal +y (flat shaded).
+
+    The geometry (and its all-zeros material-id array) is identical for
+    every caller — only the material TABLE differs, and the table is a
+    runtime operand, not a jit-static one. Sharing one module-level
+    TriangleBvh therefore shares one tracer closure across tests, so
+    every test at the same (spp, bounces) config reuses the same
+    compiled _pt_chunk instead of recompiling it per test — the single
+    biggest cost of a cold-cache suite run (TESTS_COLD.json)."""
+    global _FLOOR_OBJ
+    if _FLOOR_OBJ is None:
+        mesh = make_quad(100.0)
+        # quad is in z-plane; rotate to be the y=0 floor.
+        pos = mesh.positions.copy()
+        mesh.positions = np.stack([pos[:, 0], pos[:, 2], pos[:, 1]], axis=-1)
+        _FLOOR_OBJ = TriangleBvh.build(
+            mesh, materials=np.zeros(mesh.triangle_count, np.int32)
+        )
+    return _FLOOR_OBJ, material_table([mat])
 
 
 def _down_camera():
